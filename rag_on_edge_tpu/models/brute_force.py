@@ -1,0 +1,145 @@
+"""Exact brute-force k-NN index on a single TPU chip.
+
+This is the TPU-native replacement for the reference's entire brute-force
+vertical slice: the database-baked ONNX MatMul model
+(``qidk_bruteforce/prepare/create_model.py:40-108``), the ``QnnRunner``
+device-runner abstraction (``QnnRunner.cpp``), and the host-side uint8 heap
+top-k (``main.cpp:36-71``) collapse into one jitted score-GEMM +
+on-device k-selection.  Like ``QnnRunner``, the index owns the compiled
+executables (one per (batch, k) signature, cached by jit) and the on-device
+database; unlike it, selection never leaves the device.
+
+Precision paths:
+- ``"fp32"`` — exact float32 (recall oracle on-device).
+- ``"bf16"`` — bfloat16 GEMM inputs, f32 accumulation (MXU native).
+- ``"int8"`` — symmetric int8 GEMM with int32 accumulation; raw-int
+  ordering top-k (the ``executeRaw`` monotonicity trick,
+  ``QnnRunner.h:28-29``) with dequantized scores only for reporting.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rag_on_edge_tpu.ops import distances, quantize, topk
+
+__all__ = ["BruteForceIndex"]
+
+_SELECT_FNS = {
+    "exact": lambda s, k: topk.topk(s, k),
+    "two_stage": lambda s, k: topk.two_stage_topk(s, k),
+    "approx": lambda s, k: topk.approx_topk(s, k),
+}
+
+
+class BruteForceIndex:
+    """Exact (or int8-quantized) brute-force search over a base matrix.
+
+    Parameters
+    ----------
+    base : [N, D] float32 database vectors.
+    metric : "ip" (inner product) or "l2".
+    dtype : "fp32" | "bf16" | "int8" compute path.
+    select : "exact" | "two_stage" | "approx" k-selection strategy.
+    device : optional jax.Device to place the index on.
+    """
+
+    def __init__(
+        self,
+        base: np.ndarray,
+        metric: str = "ip",
+        dtype: str = "bf16",
+        select: str = "two_stage",
+        device: jax.Device | None = None,
+    ):
+        if metric not in ("ip", "l2"):
+            raise ValueError(f"unknown metric {metric!r}")
+        if dtype not in ("fp32", "bf16", "int8"):
+            raise ValueError(f"unknown dtype {dtype!r}")
+        if select not in _SELECT_FNS:
+            raise ValueError(f"unknown select {select!r}")
+        if dtype == "int8" and metric != "ip":
+            raise ValueError("int8 path supports metric='ip' only (like the reference NPU path)")
+
+        self.metric = metric
+        self.dtype = dtype
+        self.select = select
+        self.n, self.dim = base.shape
+        self._device = device
+
+        put = functools.partial(jax.device_put, device=device)
+        base_f32 = jnp.asarray(base, dtype=jnp.float32)
+        if dtype == "int8":
+            qt = quantize.quantize_int8(base_f32)
+            self._base = put(qt.values)
+            self._base_scale = put(qt.scale)
+        elif dtype == "bf16":
+            self._base = put(base_f32.astype(jnp.bfloat16))
+            self._base_scale = None
+        else:
+            self._base = put(base_f32)
+            self._base_scale = None
+        self._base_norms = (
+            put(distances.base_norms_sq(base_f32)) if metric == "l2" else None
+        )
+        self._search_jit = jax.jit(self._search_impl, static_argnames=("k",))
+
+    # ------------------------------------------------------------------ impl
+
+    def _search_impl(self, queries: jax.Array, k: int):
+        """Device-side search: queries [B, D] f32 → (scores [B,k] f32, ids [B,k] i32)."""
+        sel = _SELECT_FNS[self.select]
+        if self.dtype == "int8":
+            q = quantize.quantize_int8(queries, per_row=True)
+            raw = distances.score_matrix_int8(q.values, self._base)
+            vals_i32, ids = sel(raw, k)
+            vals = quantize.dequantize(vals_i32, q.scale, self._base_scale)
+            return vals, ids.astype(jnp.int32)
+        compute_dtype = jnp.bfloat16 if self.dtype == "bf16" else None
+        scores = distances.score_matrix(
+            queries,
+            self._base,
+            metric=self.metric,
+            base_norms=self._base_norms,
+            compute_dtype=compute_dtype,
+        )
+        vals, ids = sel(scores, k)
+        return vals, ids.astype(jnp.int32)
+
+    # ------------------------------------------------------------------ API
+
+    def search_device(self, queries: jax.Array, k: int):
+        """On-device search; inputs/outputs stay device arrays (the hot path)."""
+        return self._search_jit(queries, k)
+
+    def search(self, queries: np.ndarray, k: int, batch_size: int | None = None):
+        """Host API: numpy queries [Q, D] → (ids [Q, k] i32, scores [Q, k] f32).
+
+        Queries are processed in fixed-size batches (zero-padded like the
+        reference's batched path, ``main.cpp:199-211``) so jit compiles one
+        executable per batch size.
+        """
+        queries = np.asarray(queries, dtype=np.float32)
+        nq = queries.shape[0]
+        bs = batch_size or nq
+        ids_out = np.empty((nq, k), dtype=np.int32)
+        scores_out = np.empty((nq, k), dtype=np.float32)
+        for start in range(0, nq, bs):
+            chunk = queries[start : start + bs]
+            pad = bs - chunk.shape[0]
+            if pad:
+                chunk = np.pad(chunk, ((0, pad), (0, 0)))
+            vals, ids = self.search_device(jnp.asarray(chunk), k)
+            got = bs - pad
+            ids_out[start : start + got] = np.asarray(ids)[:got]
+            scores_out[start : start + got] = np.asarray(vals)[:got]
+        return ids_out, scores_out
+
+    def compile(self, batch_size: int, k: int) -> None:
+        """Ahead-of-time compile the (batch_size, k) executable (warmup)."""
+        dummy = jnp.zeros((batch_size, self.dim), dtype=jnp.float32)
+        jax.block_until_ready(self.search_device(dummy, k))

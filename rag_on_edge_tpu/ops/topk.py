@@ -1,0 +1,83 @@
+"""k-selection over score matrices.
+
+The reference does k-selection on the host CPU with O(N·k) heap scans
+(``main.cpp:36-57``, ``cpu_baseline.cpp:127-153``, ``IVFIndex.cpp:449-496``);
+a host round-trip would cap TPU throughput, so all selection here stays
+on-device:
+
+- ``topk``            — ``jax.lax.top_k`` (exact).
+- ``two_stage_topk``  — exact hierarchical selection: per-block top-k then a
+  final top-k over block winners.  Much faster than a flat ``top_k`` for
+  large N because the O(N log k) sort network runs on short rows.
+- ``approx_topk``     — ``jax.lax.approx_max_k``, the TPU-native partial
+  reduction (per-lane binning) from the TPU-KNN paper
+  (arXiv:2206.14286); ~0.95+ recall at a fraction of the cost.
+- ``merge_topk``      — merge two (scores, ids) top-k sets; the building
+  block for chunked scans and the cross-shard all-gather reduction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["topk", "two_stage_topk", "approx_topk", "merge_topk"]
+
+
+def topk(scores: jax.Array, k: int, ids: jax.Array | None = None):
+    """Exact top-k along the last axis. Returns (values, indices) with
+    indices mapped through ``ids`` if given (ids: same shape as scores or
+    1-D of length N)."""
+    vals, idx = jax.lax.top_k(scores, k)
+    if ids is not None:
+        if ids.ndim == 1:
+            idx = ids[idx]
+        else:
+            idx = jnp.take_along_axis(ids, idx, axis=-1)
+    return vals, idx
+
+
+def two_stage_topk(scores: jax.Array, k: int, block: int = 4096):
+    """Exact top-k via per-block selection then a final merge.
+
+    Correctness: the global top-k is contained in the union of per-block
+    top-k sets, so selecting k from the block winners is exact.
+    """
+    *lead, n = scores.shape
+    if n <= max(block, 2 * k):
+        return topk(scores, k)
+    pad = (-n) % block
+    if pad:
+        scores = jnp.pad(scores, [(0, 0)] * len(lead) + [(0, pad)], constant_values=-jnp.inf)
+    nb = (n + pad) // block
+    blocked = scores.reshape(*lead, nb, block)
+    kb = min(k, block)
+    b_vals, b_idx = jax.lax.top_k(blocked, kb)  # [..., nb, kb]
+    offs = (jnp.arange(nb, dtype=jnp.int32) * block)[:, None]
+    b_gids = (b_idx.astype(jnp.int32) + offs).reshape(*lead, nb * kb)
+    b_vals = b_vals.reshape(*lead, nb * kb)
+    vals, sel = jax.lax.top_k(b_vals, k)
+    return vals, jnp.take_along_axis(b_gids, sel, axis=-1)
+
+
+def approx_topk(scores: jax.Array, k: int, recall_target: float = 0.95):
+    """TPU-native approximate top-k (``lax.approx_max_k``)."""
+    return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def merge_topk(
+    vals_a: jax.Array,
+    ids_a: jax.Array,
+    vals_b: jax.Array,
+    ids_b: jax.Array,
+    k: int | None = None,
+):
+    """Merge two per-row top-k candidate sets into the best-k of their union."""
+    k = k or vals_a.shape[-1]
+    vals = jnp.concatenate([vals_a, vals_b], axis=-1)
+    ids = jnp.concatenate([ids_a, ids_b], axis=-1)
+    out_vals, sel = jax.lax.top_k(vals, k)
+    return out_vals, jnp.take_along_axis(ids, sel, axis=-1)

@@ -1,0 +1,220 @@
+"""Datasets: SIFT-style synthetic corpora, on-disk caching, exact ground truth.
+
+The reference suite targets the TEXMEX SIFT datasets (128-dim; SIFT-small =
+10K base / 100 queries, SIFT = 1M base / 10K queries — reference
+``README.md:107-118``).  This environment has no network egress, so we
+provide deterministic synthetic stand-ins with the same shapes and value
+statistics (raw SIFT values are small non-negative ints, range ≈ 0-141 —
+reference ``qidk_bruteforce/.../main.cpp:131-132``), generated as a mixture
+of clusters so IVF recall/nprobe behavior is meaningful.
+
+Real SIFT files, if present under the data root with the standard names
+(``<name>_base.fvecs`` etc.), are used instead of synthesizing.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from rag_on_edge_tpu.utils import io
+
+__all__ = ["Dataset", "DATASET_SPECS", "load_dataset", "make_synthetic", "ground_truth"]
+
+DEFAULT_DATA_ROOT = os.environ.get(
+    "RAG_EDGE_TPU_DATA", os.path.join(os.path.dirname(__file__), "..", "..", "data")
+)
+
+# name -> (n_base, n_queries, dim, n_clusters_for_synthesis)
+DATASET_SPECS: dict[str, tuple[int, int, int, int]] = {
+    "siftsmall": (10_000, 100, 128, 64),
+    "sift": (1_000_000, 10_000, 128, 4096),
+    # Tiny config for unit tests.
+    "unit": (2_048, 32, 128, 16),
+}
+
+
+@dataclass
+class Dataset:
+    name: str
+    base: np.ndarray  # [N, dim] float32
+    queries: np.ndarray  # [Q, dim] float32
+    ground_truth_ip: np.ndarray | None = None  # [Q, K] int32, inner-product ranking
+    ground_truth_l2: np.ndarray | None = None  # [Q, K] int32, L2 ranking
+    gt_k: int = 100
+    meta: dict = field(default_factory=dict)
+
+    @property
+    def dim(self) -> int:
+        return int(self.base.shape[1])
+
+    def gt(self, metric: str) -> np.ndarray | None:
+        return self.ground_truth_l2 if metric == "l2" else self.ground_truth_ip
+
+
+def make_synthetic(
+    n_base: int,
+    n_queries: int,
+    dim: int = 128,
+    n_clusters: int = 64,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Generate SIFT-like base and query vectors.
+
+    Cluster centers are uniform in [10, 110]; points add Gaussian noise
+    (σ=18), are clipped to [0, 141] and rounded to integers — matching raw
+    SIFT's value range so that the reference's INT8 calibration story
+    (uint8-monotonicity, ``QnnRunner.h:28-29``) transfers.  Queries are
+    perturbed base points (as in real SIFT, queries are near-duplicates of
+    database content), so exact search has non-trivial neighbors.
+    """
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(10.0, 110.0, size=(n_clusters, dim))
+    assign = rng.integers(0, n_clusters, size=n_base)
+    base = centers[assign] + rng.normal(0.0, 18.0, size=(n_base, dim))
+    base = np.clip(np.round(base), 0.0, 141.0).astype(np.float32)
+
+    q_src = rng.integers(0, n_base, size=n_queries)
+    queries = base[q_src] + rng.normal(0.0, 10.0, size=(n_queries, dim))
+    queries = np.clip(np.round(queries), 0.0, 141.0).astype(np.float32)
+    return base, queries
+
+
+def _chunk_topk(scores: np.ndarray, ids: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row top-k (descending score) via argpartition; ties broken by lower id."""
+    k = min(k, scores.shape[1])
+    if k < scores.shape[1]:
+        part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+        scores = np.take_along_axis(scores, part, axis=1)
+        ids = np.take_along_axis(ids, part, axis=1)
+    order = np.lexsort((ids, -scores), axis=1)
+    return (
+        np.take_along_axis(scores, order, axis=1),
+        np.take_along_axis(ids, order, axis=1),
+    )
+
+
+def ground_truth(
+    base: np.ndarray,
+    queries: np.ndarray,
+    k: int,
+    metric: str = "ip",
+    chunk: int = 262_144,
+    query_chunk: int = 1_024,
+    backend: str = "auto",
+) -> np.ndarray:
+    """Exact top-k neighbor ids by brute force, chunked over base and queries.
+
+    ``metric="ip"``: descending inner product (the NPU-path convention,
+    reference ``main.cpp:33``).  ``metric="l2"``: ascending squared L2
+    (the CPU-oracle convention, ``cpu/cpu_baseline.cpp:239-242``).
+    Returns int32 ``[Q, k]``, best first.  Ties broken by lower id.
+
+    ``backend="auto"`` uses JAX for the chunk GEMMs when the problem is
+    large and JAX is importable (this host has one CPU core; SIFT-1M ground
+    truth is ~2.5 TFLOP), else NumPy.
+    """
+    if metric not in ("ip", "l2"):
+        raise ValueError(f"unknown metric {metric!r}")
+    n = base.shape[0]
+    k = min(k, n)
+
+    matmul = None
+    if backend == "jax" or (backend == "auto" and n * len(queries) >= 2**26):
+        try:
+            import jax.numpy as jnp
+
+            def matmul(q, b):  # noqa: E731 — [Qc, D] x [C, D] -> [Qc, C]
+                return np.asarray(jnp.dot(jnp.asarray(q), jnp.asarray(b).T))
+
+        except ImportError:
+            matmul = None
+    if matmul is None:
+        matmul = lambda q, b: q @ b.T  # noqa: E731
+
+    base_norms = np.sum(base.astype(np.float32) ** 2, axis=1) if metric == "l2" else None
+
+    out = np.empty((len(queries), k), dtype=np.int32)
+    for qs in range(0, len(queries), query_chunk):
+        q = queries[qs : qs + query_chunk].astype(np.float32)
+        best_scores = np.full((len(q), 0), -np.inf, dtype=np.float32)
+        best_ids = np.zeros((len(q), 0), dtype=np.int64)
+        for start in range(0, n, chunk):
+            blk = base[start : start + chunk].astype(np.float32)
+            scores = matmul(q, blk)  # [Qc, c]
+            if metric == "l2":
+                # rank by -distance so "larger is better" uniformly
+                scores = -(base_norms[start : start + blk.shape[0]][None, :] - 2.0 * scores)
+            ids = np.broadcast_to(
+                np.arange(start, start + blk.shape[0], dtype=np.int64), scores.shape
+            )
+            c_scores, c_ids = _chunk_topk(scores, ids, k)
+            best_scores = np.concatenate([best_scores, c_scores], axis=1)
+            best_ids = np.concatenate([best_ids, c_ids], axis=1)
+        best_scores, best_ids = _chunk_topk(best_scores, best_ids, k)
+        out[qs : qs + len(q)] = best_ids.astype(np.int32)
+    return out
+
+
+def _paths(root: str, name: str) -> dict[str, str]:
+    d = os.path.join(root, name)
+    return {
+        "dir": d,
+        "base": os.path.join(d, f"{name}_base.fvecs"),
+        "query": os.path.join(d, f"{name}_query.fvecs"),
+        "gt_ip": os.path.join(d, f"{name}_groundtruth_ip.ivecs"),
+        "gt_l2": os.path.join(d, f"{name}_groundtruth_l2.ivecs"),
+        # Standard TEXMEX name (L2 ranking) — used if a real dataset is dropped in.
+        "gt_texmex": os.path.join(d, f"{name}_groundtruth.ivecs"),
+    }
+
+
+def load_dataset(
+    name: str,
+    root: str | None = None,
+    gt_k: int = 100,
+    compute_gt: bool = True,
+) -> Dataset:
+    """Load a dataset by name, synthesizing + caching to fvecs/ivecs if absent."""
+    if name not in DATASET_SPECS:
+        raise KeyError(f"unknown dataset {name!r}; known: {sorted(DATASET_SPECS)}")
+    root = root or DEFAULT_DATA_ROOT
+    n_base, n_queries, dim, n_clusters = DATASET_SPECS[name]
+    p = _paths(root, name)
+
+    if not (os.path.exists(p["base"]) and os.path.exists(p["query"])):
+        os.makedirs(p["dir"], exist_ok=True)
+        base, queries = make_synthetic(n_base, n_queries, dim, n_clusters)
+        io.write_fvecs(p["base"], base)
+        io.write_fvecs(p["query"], queries)
+    else:
+        base = io.read_fvecs(p["base"])
+        queries = io.read_fvecs(p["query"])
+
+    gt_ip = gt_l2 = None
+    if compute_gt:
+        if os.path.exists(p["gt_ip"]):
+            gt_ip = io.read_ivecs(p["gt_ip"])
+        if os.path.exists(p["gt_l2"]):
+            gt_l2 = io.read_ivecs(p["gt_l2"])
+        elif os.path.exists(p["gt_texmex"]):
+            gt_l2 = io.read_ivecs(p["gt_texmex"])
+        if gt_ip is None:
+            gt_ip = ground_truth(base, queries, gt_k, metric="ip")
+            io.write_ivecs(p["gt_ip"], gt_ip)
+        if gt_l2 is None:
+            gt_l2 = ground_truth(base, queries, gt_k, metric="l2")
+            io.write_ivecs(p["gt_l2"], gt_l2)
+        gt_k = min(gt_k, gt_ip.shape[1])
+
+    return Dataset(
+        name=name,
+        base=base,
+        queries=queries,
+        ground_truth_ip=gt_ip,
+        ground_truth_l2=gt_l2,
+        gt_k=gt_k,
+        meta={"n_base": n_base, "n_queries": n_queries, "dim": dim},
+    )

@@ -1,0 +1,58 @@
+import numpy as np
+import pytest
+
+from rag_on_edge_tpu.models.brute_force import BruteForceIndex
+from rag_on_edge_tpu.utils.datasets import ground_truth
+from rag_on_edge_tpu.utils.metrics import recall_at_k
+
+
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+def test_fp32_exact(small_data, metric):
+    base, queries = small_data
+    idx = BruteForceIndex(base, metric=metric, dtype="fp32", select="exact")
+    ids, scores = idx.search(queries, k=10)
+    gt = ground_truth(base, queries, 10, metric=metric, backend="numpy")
+    assert recall_at_k(ids, gt, 10) >= 0.999
+
+
+def test_two_stage_select_exact(small_data):
+    base, queries = small_data
+    a = BruteForceIndex(base, dtype="fp32", select="exact")
+    b = BruteForceIndex(base, dtype="fp32", select="two_stage")
+    ids_a, sa = a.search(queries, k=10)
+    ids_b, sb = b.search(queries, k=10)
+    np.testing.assert_allclose(sa, sb, rtol=1e-6)
+
+
+def test_bf16_recall(small_data):
+    base, queries = small_data
+    idx = BruteForceIndex(base, dtype="bf16")
+    ids, _ = idx.search(queries, k=10)
+    gt = ground_truth(base, queries, 10, metric="ip", backend="numpy")
+    assert recall_at_k(ids, gt, 10) >= 0.9
+
+
+def test_int8_recall(small_data):
+    base, queries = small_data
+    idx = BruteForceIndex(base, dtype="int8")
+    ids, scores = idx.search(queries, k=10)
+    gt = ground_truth(base, queries, 10, metric="ip", backend="numpy")
+    assert recall_at_k(ids, gt, 10) >= 0.85
+    # dequantized scores approximate true dot products
+    true = np.take_along_axis(queries @ base.T, ids.astype(np.int64), axis=1)
+    np.testing.assert_allclose(scores, true, rtol=0.1, atol=true.max() * 0.02)
+
+
+def test_batched_equals_full(small_data):
+    base, queries = small_data
+    idx = BruteForceIndex(base, dtype="fp32", select="exact")
+    ids_full, s_full = idx.search(queries, k=5)
+    ids_b, s_b = idx.search(queries, k=5, batch_size=7)  # exercises zero-pad tail
+    np.testing.assert_array_equal(ids_full, ids_b)
+    np.testing.assert_allclose(s_full, s_b, rtol=1e-6)
+
+
+def test_int8_rejects_l2(small_data):
+    base, _ = small_data
+    with pytest.raises(ValueError, match="int8"):
+        BruteForceIndex(base, metric="l2", dtype="int8")

@@ -1,0 +1,94 @@
+import numpy as np
+import pytest
+
+from rag_on_edge_tpu.models.brute_force import BruteForceIndex
+from rag_on_edge_tpu.models.ivf import IVFIndex
+from rag_on_edge_tpu.utils.datasets import ground_truth
+from rag_on_edge_tpu.utils.metrics import recall_at_k
+
+
+@pytest.fixture(scope="module")
+def ivf_ip(small_data):
+    base, _ = small_data
+    return IVFIndex.build(base, nlist=16, metric="ip", seed=42, max_iter=20)
+
+
+def test_build_layout_invariants(small_data, ivf_ip):
+    base, _ = small_data
+    idx = ivf_ip
+    # reordered rows map back to original vectors
+    np.testing.assert_array_equal(idx._vectors_np, base[idx._reorder_np])
+    # offsets cover all vectors, sizes positive-sum
+    assert idx._offsets_np[0] == 0 and idx._offsets_np[-1] == len(base)
+    assert (np.diff(idx._offsets_np) >= 0).all()
+
+
+def test_full_probe_equals_bruteforce(small_data, ivf_ip):
+    """nprobe = nlist probes every cluster → results must equal exact search."""
+    base, queries = small_data
+    bf = BruteForceIndex(base, metric="ip", dtype="fp32", select="exact")
+    ids_bf, s_bf = bf.search(queries, k=10)
+    ids_ivf, s_ivf, avg_cand = ivf_ip.search(queries, k=10, nprobe=16)
+    np.testing.assert_allclose(s_ivf, s_bf, rtol=1e-5)
+    assert avg_cand == len(base)  # every vector scanned
+    assert recall_at_k(ids_ivf, ids_bf, 10) >= 0.999
+
+
+def test_recall_increases_with_nprobe(small_data, ivf_ip):
+    base, queries = small_data
+    gt = ground_truth(base, queries, 10, metric="ip", backend="numpy")
+    recalls = []
+    for nprobe in (1, 4, 16):
+        ids, _, _ = ivf_ip.search(queries, k=10, nprobe=nprobe)
+        recalls.append(recall_at_k(ids, gt, 10))
+    assert recalls[-1] >= recalls[0]
+    assert recalls[-1] >= 0.999  # full probe is exact
+    assert recalls[1] >= 0.5  # quarter of clusters already decent
+
+
+def test_probe_chunking_invariant(small_data, ivf_ip):
+    """Chunked probe scan must give identical results to single-chunk."""
+    _, queries = small_data
+    import jax.numpy as jnp
+
+    q = jnp.asarray(queries[:8])
+    v1, i1, c1 = ivf_ip.search_device(q, k=5, nprobe=8, probe_chunk=8)
+    v2, i2, c2 = ivf_ip.search_device(q, k=5, nprobe=8, probe_chunk=3)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_l2_metric(small_data):
+    base, queries = small_data
+    idx = IVFIndex.build(base, nlist=16, metric="l2", seed=42, max_iter=20)
+    gt = ground_truth(base, queries, 10, metric="l2", backend="numpy")
+    ids, _, _ = idx.search(queries, k=10, nprobe=16)
+    assert recall_at_k(ids, gt, 10) >= 0.999
+
+
+def test_save_load_roundtrip(tmp_path, small_data, ivf_ip):
+    _, queries = small_data
+    ivf_ip.save(str(tmp_path / "index"))
+    loaded = IVFIndex.load(str(tmp_path / "index"))
+    ids_a, s_a, _ = ivf_ip.search(queries, k=5, nprobe=4)
+    ids_b, s_b, _ = loaded.search(queries, k=5, nprobe=4)
+    np.testing.assert_array_equal(ids_a, ids_b)
+    np.testing.assert_allclose(s_a, s_b, rtol=1e-6)
+    # artifact inventory matches the reference's reordered set (SURVEY §2.3)
+    for f in loaded._FILES.values():
+        assert (tmp_path / "index" / f).exists()
+
+
+def test_bf16_fine_scan(small_data):
+    base, queries = small_data
+    idx = IVFIndex.build(base, nlist=16, metric="ip", dtype="bf16", seed=42, max_iter=10)
+    gt = ground_truth(base, queries, 10, metric="ip", backend="numpy")
+    ids, _, _ = idx.search(queries, k=10, nprobe=16)
+    assert recall_at_k(ids, gt, 10) >= 0.9
+
+
+def test_small_batch_padding(small_data, ivf_ip):
+    _, queries = small_data
+    ids_a, _, _ = ivf_ip.search(queries, k=5, nprobe=4)
+    ids_b, _, _ = ivf_ip.search(queries, k=5, nprobe=4, batch_size=5)
+    np.testing.assert_array_equal(ids_a, ids_b)

@@ -1,0 +1,49 @@
+import numpy as np
+
+from rag_on_edge_tpu.models import kmeans
+
+
+def test_kmeans_deterministic(small_data):
+    base, _ = small_data
+    c1, a1 = kmeans.kmeans(base, 16, seed=42, max_iter=10)
+    c2, a2 = kmeans.kmeans(base, 16, seed=42, max_iter=10)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(a1, a2)
+
+
+def test_assignments_are_nearest(small_data):
+    base, _ = small_data
+    cents, assign = kmeans.kmeans(base, 16, seed=42, max_iter=20)
+    d = ((base[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    chosen = d[np.arange(len(base)), assign]
+    # fp32 GEMM-based assignment may differ from float64 argmin only on ties
+    assert np.all(chosen <= d.min(axis=1) + 1e-2 * (1 + d.min(axis=1)))
+
+
+def test_kmeans_reduces_inertia(small_data):
+    base, _ = small_data
+
+    def inertia(cents, assign):
+        return float(((base - cents[assign]) ** 2).sum())
+
+    c1, a1 = kmeans.kmeans(base, 16, seed=42, max_iter=1)
+    c20, a20 = kmeans.kmeans(base, 16, seed=42, max_iter=20)
+    assert inertia(c20, a20) <= inertia(c1, a1)
+
+
+def test_chunked_assignment_matches(small_data):
+    base, _ = small_data
+    cents, _ = kmeans.kmeans(base, 8, seed=1, max_iter=5)
+    import jax.numpy as jnp
+
+    a_full = np.asarray(kmeans.assign_clusters(jnp.asarray(base), jnp.asarray(cents)))
+    a_chunk = np.asarray(
+        kmeans.assign_clusters(jnp.asarray(base), jnp.asarray(cents), chunk=300)
+    )
+    np.testing.assert_array_equal(a_full, a_chunk)
+
+
+def test_default_nlist_guard():
+    assert kmeans.default_nlist(10_000, 100) == 100
+    assert kmeans.default_nlist(10_000, 5_000) == max(16, 10_000 // 100)
+    assert kmeans.default_nlist(1_000_000) == 1024

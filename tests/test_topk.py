@@ -1,0 +1,55 @@
+import jax.numpy as jnp
+import numpy as np
+
+from rag_on_edge_tpu.ops import topk
+
+
+def test_two_stage_matches_exact(rng):
+    scores = jnp.asarray(rng.normal(size=(8, 5000)).astype(np.float32))
+    v1, i1 = topk.topk(scores, 10)
+    v2, i2 = topk.two_stage_topk(scores, 10, block=512)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+    # values determine the set; ids must point at equal scores
+    s = np.asarray(scores)
+    np.testing.assert_allclose(
+        np.take_along_axis(s, np.asarray(i2), axis=1), np.asarray(v1), rtol=1e-6
+    )
+
+
+def test_two_stage_unaligned_tail(rng):
+    scores = jnp.asarray(rng.normal(size=(3, 1237)).astype(np.float32))
+    v1, _ = topk.topk(scores, 7)
+    v2, i2 = topk.two_stage_topk(scores, 7, block=256)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+    assert np.asarray(i2).max() < 1237
+
+
+def test_topk_with_id_map(rng):
+    scores = jnp.asarray(rng.normal(size=(2, 64)).astype(np.float32))
+    ids = jnp.arange(1000, 1064, dtype=jnp.int32)
+    _, mapped = topk.topk(scores, 5, ids=ids)
+    _, raw = topk.topk(scores, 5)
+    np.testing.assert_array_equal(np.asarray(mapped), np.asarray(raw) + 1000)
+
+
+def test_merge_topk(rng):
+    a = rng.normal(size=(4, 40)).astype(np.float32)
+    b = rng.normal(size=(4, 24)).astype(np.float32)
+    va, ia = topk.topk(jnp.asarray(a), 8)
+    vb, ib = topk.topk(jnp.asarray(b), 8)
+    ib = ib + 1000  # disjoint id space
+    vm, im = topk.merge_topk(va, ia, vb, ib, k=8)
+    full = np.concatenate([a, b], axis=1)
+    expect = -np.sort(-full, axis=1)[:, :8]
+    np.testing.assert_allclose(np.asarray(vm), expect, rtol=1e-6)
+    assert np.asarray(im).shape == (4, 8)
+
+
+def test_approx_topk_recall(rng):
+    scores = jnp.asarray(rng.normal(size=(16, 8192)).astype(np.float32))
+    _, exact = topk.topk(scores, 10)
+    _, approx = topk.approx_topk(scores, 10, recall_target=0.95)
+    hits = sum(
+        len(np.intersect1d(e, a)) for e, a in zip(np.asarray(exact), np.asarray(approx))
+    )
+    assert hits / (16 * 10) >= 0.9
