@@ -28,7 +28,6 @@ Rebuilds the reference's IVF vertical slice (``qidk_ivf/``):
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 
@@ -39,9 +38,80 @@ import numpy as np
 from rag_on_edge_tpu.models import kmeans as kmeans_mod
 from rag_on_edge_tpu.ops import distances, topk
 
-__all__ = ["IVFIndex"]
+__all__ = ["IVFIndex", "fine_scan"]
 
 _NEG_INF = float("-inf")
+
+
+def fine_scan(
+    q: jax.Array,
+    vectors: jax.Array,
+    vector_norms: jax.Array | None,
+    p_offs: jax.Array,
+    p_sizes: jax.Array,
+    k: int,
+    probe_chunk: int,
+    metric: str,
+    max_cluster_size: int,
+):
+    """Scan probed cluster slabs with a running on-device top-k.
+
+    The functional core of IVF STAGE 2 (reference NEON scan + heaps,
+    ``IVFIndex.cpp:738-779``), shared by the single-chip and mesh-sharded
+    paths.
+
+    q: [B, D] f32 queries. vectors: [N, D] cluster-contiguous slabs.
+    p_offs/p_sizes: [B, P] i32 start row / size per probed cluster (size 0 =
+    empty sentinel — used for probe padding and non-owned clusters on
+    sharded meshes). Returns (vals [B, k] f32, rows [B, k] i32 — indices
+    into ``vectors``; rows for -inf slots are meaningless).
+    """
+    b = q.shape[0]
+    n_rows = vectors.shape[0]
+    nprobe = p_offs.shape[1]
+    smax = max_cluster_size
+    arange_s = jnp.arange(smax, dtype=jnp.int32)
+
+    def chunk(carry, offs_c, sizes_c):
+        best_v, best_i = carry
+        rows = offs_c[..., None] + arange_s  # [B, pc, S]
+        valid = arange_s[None, None, :] < sizes_c[..., None]
+        rows = jnp.clip(rows, 0, n_rows - 1)
+        cand = vectors[rows]  # [B, pc, S, D] slab gather
+        qc = q.astype(vectors.dtype)
+        scores = jnp.einsum("bpsd,bd->bps", cand, qc, preferred_element_type=jnp.float32)
+        if metric == "l2":
+            scores = 2.0 * scores - vector_norms[rows]
+        scores = jnp.where(valid, scores, _NEG_INF)
+        flat_scores = scores.reshape(b, -1)
+        flat_rows = rows.reshape(b, -1)
+        kk = min(k, flat_scores.shape[1])
+        v, idx = jax.lax.top_k(flat_scores, kk)
+        i = jnp.take_along_axis(flat_rows, idx, axis=1)
+        if kk < k:
+            v = jnp.pad(v, ((0, 0), (0, k - kk)), constant_values=_NEG_INF)
+            i = jnp.pad(i, ((0, 0), (0, k - kk)))
+        return topk.merge_topk(best_v, best_i, v, i, k=k)
+
+    pc = min(probe_chunk, nprobe)
+    pad = (-nprobe) % pc
+    if pad:
+        p_offs = jnp.pad(p_offs, ((0, 0), (0, pad)))
+        p_sizes = jnp.pad(p_sizes, ((0, 0), (0, pad)))
+    n_chunks = (nprobe + pad) // pc
+
+    init = (
+        jnp.full((b, k), _NEG_INF, dtype=jnp.float32),
+        jnp.zeros((b, k), dtype=jnp.int32),
+    )
+    if n_chunks == 1:
+        return chunk(init, p_offs, p_sizes)
+    xs = (
+        p_offs.reshape(b, n_chunks, pc).swapaxes(0, 1),
+        p_sizes.reshape(b, n_chunks, pc).swapaxes(0, 1),
+    )
+    out, _ = jax.lax.scan(lambda c, x: (chunk(c, x[0], x[1]), None), init, xs)
+    return out
 
 
 class IVFIndex:
@@ -145,40 +215,9 @@ class IVFIndex:
 
     # ------------------------------------------------------------- search impl
 
-    def _fine_chunk(self, q, carry, p_offs, p_sizes, k):
-        """Score one chunk of probed clusters and merge into the running top-k.
-
-        q: [B, D] f32; p_offs/p_sizes: [B, pc] i32; carry: (vals [B,k], rows [B,k]).
-        """
-        best_v, best_i = carry
-        smax = self.max_cluster_size
-        arange_s = jnp.arange(smax, dtype=jnp.int32)
-        rows = p_offs[..., None] + arange_s  # [B, pc, S]
-        valid = arange_s[None, None, :] < p_sizes[..., None]
-        rows = jnp.clip(rows, 0, self.n - 1)
-        cand = self._vectors[rows]  # [B, pc, S, D] slab gather
-        qc = q.astype(self._vectors.dtype)
-        scores = jnp.einsum(
-            "bpsd,bd->bps", cand, qc, preferred_element_type=jnp.float32
-        )
-        if self.metric == "l2":
-            scores = 2.0 * scores - self._vector_norms[rows]
-        scores = jnp.where(valid, scores, _NEG_INF)
-        b = q.shape[0]
-        flat_scores = scores.reshape(b, -1)
-        flat_rows = rows.reshape(b, -1)
-        kk = min(k, flat_scores.shape[1])
-        v, idx = jax.lax.top_k(flat_scores, kk)
-        i = jnp.take_along_axis(flat_rows, idx, axis=1)
-        if kk < k:
-            v = jnp.pad(v, ((0, 0), (0, k - kk)), constant_values=_NEG_INF)
-            i = jnp.pad(i, ((0, 0), (0, k - kk)))
-        return topk.merge_topk(best_v, best_i, v, i, k=k)
-
     def _search_impl(self, queries: jax.Array, k: int, nprobe: int, probe_chunk: int):
         """Returns (scores [B,k] f32, ids [B,k] i32, n_candidates [B] i32)."""
         q = queries.astype(jnp.float32)
-        b = q.shape[0]
         nprobe = min(nprobe, self.nlist)
 
         # STAGE 1 — coarse centroid scores on the MXU (the reference's NPU
@@ -192,32 +231,19 @@ class IVFIndex:
         p_sizes = self._sizes[probes]
         n_candidates = jnp.sum(p_sizes, axis=1)
 
-        # Pad the probe axis to a multiple of probe_chunk with empty
-        # (size-0) sentinel probes, which mask to -inf.
-        pc = min(probe_chunk, nprobe)
-        pad = (-nprobe) % pc
-        if pad:
-            p_offs = jnp.pad(p_offs, ((0, 0), (0, pad)))
-            p_sizes = jnp.pad(p_sizes, ((0, 0), (0, pad)))
-        n_chunks = (nprobe + pad) // pc
-
         # STAGE 2 — fine scan over cluster slabs with a running top-k
         # (reference NEON scan + heaps, IVFIndex.cpp:738-779).
-        init = (
-            jnp.full((b, k), _NEG_INF, dtype=jnp.float32),
-            jnp.zeros((b, k), dtype=jnp.int32),
+        best_v, best_i = fine_scan(
+            q,
+            self._vectors,
+            self._vector_norms,
+            p_offs,
+            p_sizes,
+            k=k,
+            probe_chunk=probe_chunk,
+            metric=self.metric,
+            max_cluster_size=self.max_cluster_size,
         )
-        xs = (
-            p_offs.reshape(b, n_chunks, pc).swapaxes(0, 1),
-            p_sizes.reshape(b, n_chunks, pc).swapaxes(0, 1),
-        )
-        fine = functools.partial(self._fine_chunk, q, k=k)
-        if n_chunks == 1:
-            best_v, best_i = fine(init, p_offs=xs[0][0], p_sizes=xs[1][0])
-        else:
-            (best_v, best_i), _ = jax.lax.scan(
-                lambda c, x: (fine(c, p_offs=x[0], p_sizes=x[1]), None), init, xs
-            )
 
         # Map reordered rows back to original ids (IVFIndex.cpp:778).
         ids = jnp.where(best_v > _NEG_INF, self._reorder[best_i], -1)

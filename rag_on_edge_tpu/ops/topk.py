@@ -50,7 +50,12 @@ def two_stage_topk(scores: jax.Array, k: int, block: int = 4096):
         return topk(scores, k)
     pad = (-n) % block
     if pad:
-        scores = jnp.pad(scores, [(0, 0)] * len(lead) + [(0, pad)], constant_values=-jnp.inf)
+        fill = (
+            jnp.iinfo(scores.dtype).min
+            if jnp.issubdtype(scores.dtype, jnp.integer)
+            else -jnp.inf
+        )
+        scores = jnp.pad(scores, [(0, 0)] * len(lead) + [(0, pad)], constant_values=fill)
     nb = (n + pad) // block
     blocked = scores.reshape(*lead, nb, block)
     kb = min(k, block)

@@ -1,0 +1,347 @@
+"""Multi-chip sharded search: database sharding + all-gather top-k merge.
+
+The scaling design the reference could not express (its largest parallel
+structure is the 4×4 AIE spatial GEMM, ``whole_array.py`` — SURVEY §2.6
+maps it onto a TPU mesh):
+
+- **Brute force**: base-vector rows shard across the mesh axis (the analog
+  of N-sharding across AIE columns, ``whole_array.py:167-170, 308-348``);
+  queries are replicated (the A-broadcast); each chip computes its
+  [B, N/S] score tile and a local top-k; a tiled ``all_gather`` over ICI
+  collects k·S candidates per query and a final top-k re-selects — the
+  "join" of the ObjectFIFO design, done as one XLA collective.
+
+- **IVF**: whole clusters (contiguous slabs of the reordered layout) are
+  assigned to shards; the coarse centroid GEMM runs replicated (it is tiny)
+  and each shard fine-scans only the probed clusters it owns (non-owned
+  probes become size-0 sentinels that mask out), then the same all-gather
+  top-k merge.
+
+Everything is a single jitted ``jax.shard_map`` program over a
+``jax.sharding.Mesh``; collectives ride ICI (SURVEY §2.7).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from rag_on_edge_tpu.models.ivf import IVFIndex, fine_scan
+from rag_on_edge_tpu.ops import distances, quantize, topk
+
+__all__ = ["ShardedBruteForceIndex", "ShardedIVFIndex"]
+
+_NEG_INF = float("-inf")
+_INT32_MIN = jnp.iinfo(jnp.int32).min
+
+
+def _gather_merge(vals: jax.Array, ids: jax.Array, k: int, axis_name: str):
+    """All-gather per-shard top-k candidates and re-select the global top-k
+    (the cross-shard "join"): k per shard → k·S candidates → k."""
+    vg = jax.lax.all_gather(vals, axis_name, axis=1, tiled=True)  # [B, S*k]
+    ig = jax.lax.all_gather(ids, axis_name, axis=1, tiled=True)
+    out_v, sel = jax.lax.top_k(vg, k)
+    return out_v, jnp.take_along_axis(ig, sel, axis=1)
+
+
+class ShardedBruteForceIndex:
+    """Exact brute-force search with base vectors sharded across a mesh.
+
+    dtype "fp32" | "bf16" | "int8" — int8 uses one global base scale so raw
+    int32 scores are comparable across shards before the merge.
+    """
+
+    def __init__(
+        self,
+        base: np.ndarray,
+        mesh: jax.sharding.Mesh,
+        metric: str = "ip",
+        dtype: str = "bf16",
+    ):
+        if metric not in ("ip", "l2"):
+            raise ValueError(f"unknown metric {metric!r}")
+        if dtype not in ("fp32", "bf16", "int8"):
+            raise ValueError(f"unknown dtype {dtype!r}")
+        if dtype == "int8" and metric != "ip":
+            raise ValueError("int8 path supports metric='ip' only")
+        self.metric = metric
+        self.dtype = dtype
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.n_shards = mesh.devices.size
+        self.n, self.dim = base.shape
+
+        # Pad N to a shard multiple; padded rows are masked by global index.
+        self.rows_per_shard = -(-self.n // self.n_shards)
+        pad = self.rows_per_shard * self.n_shards - self.n
+        base_f32 = np.asarray(base, dtype=np.float32)
+        base_padded = np.pad(base_f32, ((0, pad), (0, 0)))
+
+        shard_spec = NamedSharding(mesh, P(self.axis, None))
+        if dtype == "int8":
+            self._base_scale = jnp.asarray(
+                np.float32(max(np.abs(base_f32).max(), 1e-12) / 127.0)
+            )
+            q = np.clip(np.round(base_padded / float(self._base_scale)), -127, 127)
+            self._base = jax.device_put(q.astype(np.int8), shard_spec)
+        else:
+            arr = jnp.asarray(base_padded)
+            if dtype == "bf16":
+                arr = arr.astype(jnp.bfloat16)
+            self._base = jax.device_put(arr, shard_spec)
+            self._base_scale = None
+        if metric == "l2":
+            norms = np.sum(base_padded.astype(np.float32) ** 2, axis=1)
+            self._base_norms = jax.device_put(jnp.asarray(norms), NamedSharding(mesh, P(self.axis)))
+        else:
+            self._base_norms = None
+
+        self._search_jit = jax.jit(self._make_sharded_fn(), static_argnames=("k",))
+
+    def _make_sharded_fn(self):
+        axis = self.axis
+        rows = self.rows_per_shard
+        n_total = self.n
+        metric, dtype = self.metric, self.dtype
+
+        def shard_body(q, base_shard, base_norms, base_scale, k):
+            shard_id = jax.lax.axis_index(axis)
+            row0 = shard_id * rows
+            valid = (row0 + jnp.arange(rows)) < n_total  # [rows]
+            if dtype == "int8":
+                qq = quantize.quantize_int8(q, per_row=True)
+                raw = distances.score_matrix_int8(qq.values, base_shard)
+                raw = jnp.where(valid[None, :], raw, _INT32_MIN)
+                v_i32, ids = topk.two_stage_topk(raw, k)
+                vals = quantize.dequantize(v_i32, qq.scale, base_scale)
+                vals = jnp.where(v_i32 == _INT32_MIN, _NEG_INF, vals)
+            else:
+                scores = distances.score_matrix(
+                    q,
+                    base_shard,
+                    metric=metric,
+                    base_norms=base_norms,
+                    compute_dtype=jnp.bfloat16 if dtype == "bf16" else None,
+                )
+                scores = jnp.where(valid[None, :], scores, _NEG_INF)
+                vals, ids = topk.two_stage_topk(scores, k)
+            gids = ids.astype(jnp.int32) + row0
+            return _gather_merge(vals, gids, k, axis)
+
+        in_specs = (
+            P(None, None),  # queries replicated
+            P(axis, None),  # base rows sharded
+            P(axis) if self._base_norms is not None else P(),
+            P(),
+        )
+
+        def fn(q, k):
+            body = functools.partial(shard_body, k=k)
+            norms = self._base_norms if self._base_norms is not None else jnp.zeros(())
+            scale = self._base_scale if self._base_scale is not None else jnp.zeros(())
+            return jax.shard_map(
+                body,
+                mesh=self.mesh,
+                in_specs=in_specs,
+                out_specs=(P(None, None), P(None, None)),
+                check_vma=False,
+            )(q, self._base, norms, scale)
+
+        return fn
+
+    def search_device(self, queries: jax.Array, k: int):
+        """On-device sharded search → (vals [B,k] f32, ids [B,k] i32)."""
+        return self._search_jit(queries, k)
+
+    def search(self, queries: np.ndarray, k: int, batch_size: int | None = None):
+        """Host API → (ids [Q,k] i32, scores [Q,k] f32)."""
+        queries = np.asarray(queries, dtype=np.float32)
+        nq = queries.shape[0]
+        bs = batch_size or nq
+        ids_out = np.empty((nq, k), dtype=np.int32)
+        scores_out = np.empty((nq, k), dtype=np.float32)
+        for start in range(0, nq, bs):
+            chunk = queries[start : start + bs]
+            pad = bs - chunk.shape[0]
+            if pad:
+                chunk = np.pad(chunk, ((0, pad), (0, 0)))
+            vals, ids = self.search_device(jnp.asarray(chunk), k)
+            got = bs - pad
+            ids_out[start : start + got] = np.asarray(ids)[:got]
+            scores_out[start : start + got] = np.asarray(vals)[:got]
+        return ids_out, scores_out
+
+
+def _partition_clusters(offsets: np.ndarray, n_shards: int) -> list[tuple[int, int]]:
+    """Assign contiguous cluster ranges to shards, balancing row counts.
+
+    Returns per-shard (cluster_lo, cluster_hi).  Contiguity preserves the
+    reordered layout's slab property within each shard.
+    """
+    nlist = len(offsets) - 1
+    total = int(offsets[-1])
+    bounds = []
+    lo = 0
+    for s in range(n_shards):
+        target = total * (s + 1) / n_shards
+        hi = int(np.searchsorted(offsets[1:], target, side="left")) + 1
+        hi = max(min(hi, nlist), lo)
+        if s == n_shards - 1:
+            hi = nlist
+        bounds.append((lo, hi))
+        lo = hi
+    return bounds
+
+
+class ShardedIVFIndex:
+    """IVF search with clusters sharded across a mesh.
+
+    Built from a single-chip :class:`IVFIndex` (whose artifacts it reuses);
+    the coarse quantizer is replicated, cluster slabs are distributed.
+    """
+
+    def __init__(self, index: IVFIndex, mesh: jax.sharding.Mesh):
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.n_shards = mesh.devices.size
+        self.metric = index.metric
+        self.dtype = index.dtype
+        self.nlist = index.nlist
+        self.n, self.dim = index.n, index.dim
+        self.max_cluster_size = index.max_cluster_size
+
+        offsets = index._offsets_np.astype(np.int64)  # [nlist+1]
+        sizes = np.diff(offsets).astype(np.int32)
+        bounds = _partition_clusters(offsets, self.n_shards)
+        rows_max = max((int(offsets[hi] - offsets[lo]) for lo, hi in bounds), default=1)
+        rows_max = max(rows_max, 1)
+
+        S = self.n_shards
+        vecs = np.zeros((S, rows_max, self.dim), dtype=np.float32)
+        local_reorder = np.full((S, rows_max), -1, dtype=np.int32)
+        offs_local = np.zeros((S, self.nlist), dtype=np.int32)
+        sizes_local = np.zeros((S, self.nlist), dtype=np.int32)
+        for s, (lo, hi) in enumerate(bounds):
+            r0, r1 = int(offsets[lo]), int(offsets[hi])
+            nloc = r1 - r0
+            vecs[s, :nloc] = index._vectors_np[r0:r1]
+            local_reorder[s, :nloc] = index._reorder_np[r0:r1]
+            offs_local[s, lo:hi] = (offsets[lo:hi] - r0).astype(np.int32)
+            sizes_local[s, lo:hi] = sizes[lo:hi]
+
+        sh = lambda *spec: NamedSharding(mesh, P(*spec))  # noqa: E731
+        vecs_j = jnp.asarray(vecs)
+        if self.dtype == "bf16":
+            vecs_j = vecs_j.astype(jnp.bfloat16)
+        self._vectors = jax.device_put(vecs_j, sh(self.axis, None, None))
+        self._local_reorder = jax.device_put(jnp.asarray(local_reorder), sh(self.axis, None))
+        self._offs_local = jax.device_put(jnp.asarray(offs_local), sh(self.axis, None))
+        self._sizes_local = jax.device_put(jnp.asarray(sizes_local), sh(self.axis, None))
+        self._centroids = jnp.asarray(index._centroids_np)
+        self._centroid_norms = (
+            distances.base_norms_sq(self._centroids) if self.metric == "l2" else None
+        )
+        if self.metric == "l2":
+            norms = np.sum(vecs.astype(np.float32) ** 2, axis=2)
+            self._vector_norms = jax.device_put(jnp.asarray(norms), sh(self.axis, None))
+        else:
+            self._vector_norms = None
+
+        self._search_jit = jax.jit(
+            self._make_sharded_fn(), static_argnames=("k", "nprobe", "probe_chunk")
+        )
+
+    def _make_sharded_fn(self):
+        axis = self.axis
+        metric = self.metric
+        smax = self.max_cluster_size
+        nlist = self.nlist
+
+        def shard_body(q, cents, c_norms, vecs, v_norms, offs, szs, reorder, k, nprobe, probe_chunk):
+            vecs, offs, szs, reorder = (
+                vecs[0],
+                offs[0],
+                szs[0],
+                reorder[0],
+            )
+            v_norms = v_norms[0] if metric == "l2" else None
+            # STAGE 1 (replicated — the centroid GEMM is tiny): coarse scores
+            # + top-nprobe; identical on every shard.
+            coarse = distances.score_matrix(
+                q, cents, metric=metric, base_norms=c_norms if metric == "l2" else None
+            )
+            _, probes = jax.lax.top_k(coarse, min(nprobe, nlist))
+            p_offs = offs[probes]
+            p_sizes = szs[probes]  # 0 for clusters this shard doesn't own
+            ncand = jax.lax.psum(jnp.sum(p_sizes, axis=1), axis)
+
+            # STAGE 2 (sharded): scan only locally-owned probed clusters.
+            vals, rows = fine_scan(
+                q, vecs, v_norms, p_offs, p_sizes,
+                k=k, probe_chunk=probe_chunk, metric=metric, max_cluster_size=smax,
+            )
+            ids = jnp.where(vals > _NEG_INF, reorder[rows], -1).astype(jnp.int32)
+            out_v, out_i = _gather_merge(vals, ids, k, axis)
+            return out_v, out_i, ncand.astype(jnp.int32)
+
+        in_specs = (
+            P(None, None),  # queries replicated
+            P(None, None),  # centroids replicated
+            P(None) if self.metric == "l2" else P(),
+            P(axis, None, None),
+            P(axis, None) if self.metric == "l2" else P(),
+            P(axis, None),
+            P(axis, None),
+            P(axis, None),
+        )
+
+        def fn(q, k, nprobe, probe_chunk):
+            body = functools.partial(
+                shard_body, k=k, nprobe=nprobe, probe_chunk=probe_chunk
+            )
+            c_norms = self._centroid_norms if self.metric == "l2" else jnp.zeros(())
+            v_norms = self._vector_norms if self.metric == "l2" else jnp.zeros(())
+            return jax.shard_map(
+                body,
+                mesh=self.mesh,
+                in_specs=in_specs,
+                out_specs=(P(None, None), P(None, None), P(None)),
+                check_vma=False,
+            )(q, self._centroids, c_norms, self._vectors, v_norms,
+              self._offs_local, self._sizes_local, self._local_reorder)
+
+        return fn
+
+    def _auto_probe_chunk(self, batch: int, budget_bytes: int = 256 << 20) -> int:
+        bytes_per_probe = batch * self.max_cluster_size * self.dim * (
+            2 if self.dtype == "bf16" else 4
+        )
+        return max(1, budget_bytes // max(bytes_per_probe, 1))
+
+    def search_device(self, queries, k: int, nprobe: int, probe_chunk: int | None = None):
+        pc = probe_chunk or self._auto_probe_chunk(queries.shape[0])
+        return self._search_jit(queries, k, nprobe, pc)
+
+    def search(self, queries: np.ndarray, k: int, nprobe: int = 16, batch_size: int | None = None):
+        """Host API → (ids [Q,k] i32, scores [Q,k] f32, avg_candidates float)."""
+        queries = np.asarray(queries, dtype=np.float32)
+        nq = queries.shape[0]
+        bs = batch_size or nq
+        ids_out = np.empty((nq, k), dtype=np.int32)
+        scores_out = np.empty((nq, k), dtype=np.float32)
+        total_cand = 0
+        for start in range(0, nq, bs):
+            chunk = queries[start : start + bs]
+            pad = bs - chunk.shape[0]
+            if pad:
+                chunk = np.pad(chunk, ((0, pad), (0, 0)))
+            vals, ids, ncand = self.search_device(jnp.asarray(chunk), k, nprobe)
+            got = bs - pad
+            ids_out[start : start + got] = np.asarray(ids)[:got]
+            scores_out[start : start + got] = np.asarray(vals)[:got]
+            total_cand += int(np.asarray(ncand)[:got].sum())
+        return ids_out, scores_out, total_cand / nq

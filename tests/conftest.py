@@ -8,10 +8,14 @@ reference could not test without hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# The image exports JAX_PLATFORMS=axon (the real TPU) and its
+# sitecustomize imports jax before pytest loads this conftest, so env vars
+# are already baked — override through jax.config instead.
+os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

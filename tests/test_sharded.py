@@ -1,0 +1,91 @@
+import jax
+import numpy as np
+import pytest
+
+from rag_on_edge_tpu.models.brute_force import BruteForceIndex
+from rag_on_edge_tpu.models.ivf import IVFIndex
+from rag_on_edge_tpu.parallel import ShardedBruteForceIndex, ShardedIVFIndex, make_mesh
+from rag_on_edge_tpu.parallel.sharded import _partition_clusters
+from rag_on_edge_tpu.utils.datasets import ground_truth
+from rag_on_edge_tpu.utils.metrics import recall_at_k
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest should provide 8 virtual CPU devices"
+    return make_mesh(8)
+
+
+def test_mesh_has_8_devices(mesh):
+    assert mesh.devices.size == 8
+
+
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+def test_sharded_bruteforce_matches_single(small_data, mesh, metric):
+    base, queries = small_data
+    single = BruteForceIndex(base, metric=metric, dtype="fp32", select="exact")
+    sharded = ShardedBruteForceIndex(base, mesh, metric=metric, dtype="fp32")
+    ids_s, s_s = single.search(queries, k=10)
+    ids_m, s_m = sharded.search(queries, k=10)
+    np.testing.assert_allclose(s_s, s_m, rtol=1e-5)
+    assert recall_at_k(ids_m, ids_s, 10) >= 0.999
+
+
+def test_sharded_bruteforce_unaligned_n(mesh, rng):
+    """N not divisible by n_shards — padded rows must never appear."""
+    base = rng.uniform(0, 100, size=(1003, 64)).astype(np.float32)
+    queries = rng.uniform(0, 100, size=(9, 64)).astype(np.float32)
+    sharded = ShardedBruteForceIndex(base, mesh, dtype="fp32")
+    ids, scores = sharded.search(queries, k=5)
+    assert ids.max() < 1003 and ids.min() >= 0
+    gt = ground_truth(base, queries, 5, metric="ip", backend="numpy")
+    assert recall_at_k(ids, gt, 5) >= 0.99
+
+
+def test_sharded_int8(small_data, mesh):
+    base, queries = small_data
+    sharded = ShardedBruteForceIndex(base, mesh, dtype="int8")
+    ids, scores = sharded.search(queries, k=10)
+    gt = ground_truth(base, queries, 10, metric="ip", backend="numpy")
+    assert recall_at_k(ids, gt, 10) >= 0.85
+
+
+def test_partition_clusters_covers_all():
+    offsets = np.array([0, 10, 15, 40, 45, 80, 100])
+    bounds = _partition_clusters(offsets, 3)
+    assert bounds[0][0] == 0 and bounds[-1][1] == 6
+    for (l1, h1), (l2, h2) in zip(bounds, bounds[1:]):
+        assert h1 == l2  # contiguous, non-overlapping
+
+
+def test_sharded_ivf_matches_single(small_data, mesh):
+    base, queries = small_data
+    single = IVFIndex.build(base, nlist=16, metric="ip", seed=42, max_iter=10)
+    sharded = ShardedIVFIndex(single, mesh)
+    for nprobe in (4, 16):
+        ids_s, v_s, c_s = single.search(queries, k=10, nprobe=nprobe)
+        ids_m, v_m, c_m = sharded.search(queries, k=10, nprobe=nprobe)
+        np.testing.assert_allclose(v_s, v_m, rtol=1e-5)
+        assert c_s == c_m  # same clusters probed → same candidate count
+        assert recall_at_k(ids_m, ids_s, 10) >= 0.999
+
+
+def test_sharded_ivf_l2(small_data, mesh):
+    base, queries = small_data
+    single = IVFIndex.build(base, nlist=16, metric="l2", seed=42, max_iter=10)
+    sharded = ShardedIVFIndex(single, mesh)
+    gt = ground_truth(base, queries, 10, metric="l2", backend="numpy")
+    ids, _, _ = sharded.search(queries, k=10, nprobe=16)
+    assert recall_at_k(ids, gt, 10) >= 0.999
+
+
+def test_sharded_ivf_more_shards_than_queries_probe(small_data, mesh):
+    """nprobe=1: most shards own nothing for a query; padding ids must be -1
+    or valid, never garbage."""
+    base, queries = small_data
+    single = IVFIndex.build(base, nlist=16, metric="ip", seed=42, max_iter=10)
+    sharded = ShardedIVFIndex(single, mesh)
+    ids, vals, _ = sharded.search(queries, k=10, nprobe=1)
+    assert ((ids >= -1) & (ids < len(base))).all()
+    # every valid id has a finite score
+    assert np.isfinite(vals[ids >= 0]).all()
