@@ -1,0 +1,162 @@
+"""IVF benchmark harness.
+
+The TPU rebuild of the reference's IVF benchmark main
+(``qidk_ivf/.../main_ivf.cpp:61-293``) and nprobe-sweep study
+(``prepare/benchmark_ivf.py:175-297``): builds (or loads a cached) index,
+sweeps nprobe, reports recall / QPS / latency percentiles / candidate
+reduction, and writes the reference's CSV schema (``run_all_ivf.sh:62``:
+``dataset,nprobe,top_k,recall,qps,avg_ms,p50_ms,p95_ms,p99_ms,avg_candidates,reduction``).
+
+Usage:
+    python -m rag_on_edge_tpu.harness.bench_ivf \
+        --dataset siftsmall --nlist 100 --nprobe 8 16 32 --k 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from rag_on_edge_tpu.harness import timing
+from rag_on_edge_tpu.harness.bench_bruteforce import _device_batches
+from rag_on_edge_tpu.models.ivf import IVFIndex
+from rag_on_edge_tpu.models.kmeans import default_nlist
+from rag_on_edge_tpu.utils import metrics
+from rag_on_edge_tpu.utils.datasets import DEFAULT_DATA_ROOT, load_dataset
+
+__all__ = ["build_or_load_index", "run", "main"]
+
+
+def build_or_load_index(
+    ds, nlist: int | None, metric: str, dtype: str, seed: int = 42, cache_root: str | None = None
+) -> IVFIndex:
+    """Index persistence as compiled-artifact cache (regenerate only if
+    missing), mirroring ``run_all_ivf.sh:72-94``."""
+    nlist = default_nlist(ds.base.shape[0], nlist)
+    cache_root = cache_root or DEFAULT_DATA_ROOT
+    cache = os.path.join(cache_root, ds.name, f"ivf_nlist{nlist}_{metric}_{dtype}_seed{seed}")
+    if os.path.exists(os.path.join(cache, "ivf_config.json")):
+        return IVFIndex.load(cache)
+    index = IVFIndex.build(ds.base, nlist=nlist, metric=metric, dtype=dtype, seed=seed)
+    index.save(cache)
+    return index
+
+
+def run(
+    dataset: str = "siftsmall",
+    nlist: int | None = None,
+    nprobes: tuple[int, ...] = (8, 16, 32, 64),
+    k: int = 10,
+    batch: int = 32,
+    dtype: str = "fp32",
+    metric: str = "ip",
+    repeats: int = 10,
+    outdir: str | None = None,
+    quiet: bool = False,
+) -> list[dict]:
+    ds = load_dataset(dataset, gt_k=max(k, 10))
+    index = build_or_load_index(ds, nlist, metric, dtype)
+    gt = ds.gt(metric)
+    n = ds.base.shape[0]
+
+    results = []
+    for nprobe in nprobes:
+        index.compile(batch, k, nprobe)
+        search = lambda q: index.search_device(q, k, nprobe)  # noqa: E731
+        batches = _device_batches(ds.queries, batch)
+        lat = timing.measure_latency(search, batches)
+        qps = timing.measure_throughput(search, batches, repeats=repeats)
+
+        ids, scores, avg_cand = index.search(ds.queries, k=k, nprobe=nprobe, batch_size=batch)
+        recall = metrics.recall_at_k(ids, gt, k) if gt is not None else float("nan")
+        reduction = n / avg_cand if avg_cand else float("inf")
+        row = {
+            "dataset": dataset,
+            "nlist": index.nlist,
+            "nprobe": nprobe,
+            "k": k,
+            "batch": batch,
+            "recall": recall,
+            "qps": qps,
+            "avg_candidates": avg_cand,
+            "reduction": reduction,
+            "latency": lat,
+        }
+        results.append(row)
+        if not quiet:
+            print(
+                f"[ivf {dtype}] {dataset} nlist={index.nlist} nprobe={nprobe} B={batch} "
+                f"K={k}: recall@{k}={recall:.4f} QPS={qps:,.0f} "
+                f"cand={avg_cand:.0f} ({reduction:.1f}x reduction) "
+                f"lat(ms) mean={lat.mean:.3f} p95={lat.p95:.3f}"
+            )
+        if outdir:
+            cfg = f"{dataset}_ivf{index.nlist}_np{nprobe}_b{batch}_k{k}_{dtype}"
+            d = os.path.join(outdir, cfg)
+            metrics.write_results_txt(os.path.join(d, "results.txt"), ids, scores)
+            metrics.write_metrics_txt(
+                os.path.join(d, "metrics.txt"),
+                {
+                    "Dataset and Index Info": [
+                        f"dataset: {dataset}",
+                        f"num_docs: {n}",
+                        f"num_queries: {ds.queries.shape[0]}",
+                        f"dim: {ds.base.shape[1]}",
+                        f"n_clusters: {index.nlist}",
+                        f"nprobe: {nprobe}",
+                        f"batch_size: {batch}  top_k: {k}",
+                        f"cluster sizes min/avg/max: "
+                        f"{index.config['cluster_size_min']}/"
+                        f"{index.config['cluster_size_avg']:.1f}/"
+                        f"{index.config['cluster_size_max']}",
+                    ],
+                    "Accuracy": [f"recall@{k}: {recall:.4f}"],
+                    "Candidate Statistics": [
+                        f"avg_candidates_per_query: {avg_cand:.1f}",
+                        f"candidate_reduction: {reduction:.1f}x",
+                    ],
+                    "Overall Performance": [
+                        f"throughput_qps: {qps:.1f}",
+                        f"per_query_latency_amortized_ms: {1e3 / qps:.4f}",
+                    ],
+                    "Device Execution": lat.lines("batch"),
+                },
+            )
+            metrics.append_sweep_csv(
+                os.path.join(outdir, "benchmark_ivf.csv"),
+                "dataset,nprobe,top_k,recall,qps,avg_ms,p50_ms,p95_ms,p99_ms,avg_candidates,reduction",
+                f"{dataset},{nprobe},{k},{recall:.4f},{qps:.1f},{lat.mean:.4f},"
+                f"{lat.p50:.4f},{lat.p95:.4f},{lat.p99:.4f},{avg_cand:.1f},{reduction:.1f}",
+            )
+    return results
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", default="siftsmall")
+    p.add_argument("--nlist", type=int, default=None)
+    p.add_argument("--nprobe", type=int, nargs="+", default=[8, 16, 32, 64])
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--dtype", default="fp32", choices=["fp32", "bf16"])
+    p.add_argument("--metric", default="ip", choices=["ip", "l2"])
+    p.add_argument("--repeats", type=int, default=10)
+    p.add_argument("--outdir", default="results")
+    p.add_argument("--json", action="store_true")
+    args = p.parse_args(argv)
+    rows = run(
+        dataset=args.dataset, nlist=args.nlist, nprobes=tuple(args.nprobe),
+        k=args.k, batch=args.batch, dtype=args.dtype, metric=args.metric,
+        repeats=args.repeats, outdir=args.outdir, quiet=args.json,
+    )
+    if args.json:
+        for r in rows:
+            print(json.dumps({**r, "latency": r["latency"].__dict__}))
+
+
+if __name__ == "__main__":
+    main()

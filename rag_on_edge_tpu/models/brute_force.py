@@ -32,6 +32,10 @@ __all__ = ["BruteForceIndex"]
 _SELECT_FNS = {
     "exact": lambda s, k: topk.topk(s, k),
     "two_stage": lambda s, k: topk.two_stage_topk(s, k),
+    "iterative": lambda s, k: topk.iterative_topk(s, k),
+    "auto": lambda s, k: (
+        topk.iterative_topk(s, k) if k <= 32 else topk.two_stage_topk(s, k)
+    ),
     "approx": lambda s, k: topk.approx_topk(s, k),
 }
 
@@ -44,7 +48,9 @@ class BruteForceIndex:
     base : [N, D] float32 database vectors.
     metric : "ip" (inner product) or "l2".
     dtype : "fp32" | "bf16" | "int8" compute path.
-    select : "exact" | "two_stage" | "approx" k-selection strategy.
+    select : "auto" | "exact" | "two_stage" | "iterative" | "approx"
+        k-selection strategy ("auto": exact — iterative argmax passes for
+        small k, blocked two-stage otherwise).
     device : optional jax.Device to place the index on.
     """
 
@@ -53,7 +59,7 @@ class BruteForceIndex:
         base: np.ndarray,
         metric: str = "ip",
         dtype: str = "bf16",
-        select: str = "two_stage",
+        select: str = "auto",
         device: jax.Device | None = None,
     ):
         if metric not in ("ip", "l2"):

@@ -23,7 +23,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["topk", "two_stage_topk", "approx_topk", "merge_topk"]
+__all__ = ["topk", "two_stage_topk", "iterative_topk", "approx_topk", "merge_topk"]
 
 
 def topk(scores: jax.Array, k: int, ids: jax.Array | None = None):
@@ -67,8 +67,46 @@ def two_stage_topk(scores: jax.Array, k: int, block: int = 4096):
     return vals, jnp.take_along_axis(b_gids, sel, axis=-1)
 
 
+def iterative_topk(scores: jax.Array, k: int):
+    """Exact top-k for small k via k argmax-and-mask passes (VPU reductions).
+
+    ``lax.top_k`` lowers to a sort on TPU — O(N log N) and slow for long
+    rows; for the k ≤ ~32 regime of vector search, k max-reductions over
+    [B, N] are far cheaper and exact.  Ties resolve to the lowest index
+    (same as ``lax.top_k``).  Returns (values, indices), best first.
+    """
+    if jnp.issubdtype(scores.dtype, jnp.integer):
+        fill = jnp.iinfo(scores.dtype).min
+    else:
+        fill = -jnp.inf
+    n = scores.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1)
+
+    def body(carry, _):
+        s = carry
+        idx = jnp.argmax(s, axis=-1).astype(jnp.int32)  # [B]
+        val = jnp.take_along_axis(s, idx[..., None], axis=-1)[..., 0]
+        s = jnp.where(col == idx[..., None], fill, s)
+        return s, (val, idx)
+
+    _, (vals, ids) = jax.lax.scan(body, scores, None, length=min(k, n))
+    vals = jnp.moveaxis(vals, 0, -1)
+    ids = jnp.moveaxis(ids, 0, -1)
+    if k > n:
+        pad = [(0, 0)] * (vals.ndim - 1) + [(0, k - n)]
+        vals = jnp.pad(vals, pad, constant_values=fill)
+        ids = jnp.pad(ids, pad)
+    return vals, ids
+
+
 def approx_topk(scores: jax.Array, k: int, recall_target: float = 0.95):
-    """TPU-native approximate top-k (``lax.approx_max_k``)."""
+    """TPU-native approximate top-k (``lax.approx_max_k``).
+
+    Integer scores are cast to float32 (approx_max_k requires floats);
+    int32 inner products up to 2^24 remain exactly representable.
+    """
+    if jnp.issubdtype(scores.dtype, jnp.integer):
+        scores = scores.astype(jnp.float32)
     return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
 
 

@@ -53,3 +53,26 @@ def test_approx_topk_recall(rng):
         len(np.intersect1d(e, a)) for e, a in zip(np.asarray(exact), np.asarray(approx))
     )
     assert hits / (16 * 10) >= 0.9
+
+
+def test_iterative_topk_matches_exact(rng):
+    scores = jnp.asarray(rng.normal(size=(8, 3000)).astype(np.float32))
+    v1, i1 = topk.topk(scores, 10)
+    v2, i2 = topk.iterative_topk(scores, 10)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_iterative_topk_int32_with_ties(rng):
+    scores = jnp.asarray(rng.integers(0, 5, size=(4, 200)).astype(np.int32))
+    v1, i1 = topk.topk(scores, 6)
+    v2, i2 = topk.iterative_topk(scores, 6)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))  # ties -> lowest id
+
+
+def test_iterative_topk_k_exceeds_n(rng):
+    scores = jnp.asarray(rng.normal(size=(2, 4)).astype(np.float32))
+    v, i = topk.iterative_topk(scores, 7)
+    assert v.shape == (2, 7)
+    assert np.isneginf(np.asarray(v)[:, 4:]).all()
