@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rag_on_edge_tpu.ops import distances, quantize, topk
+from rag_on_edge_tpu.ops.pallas_bruteforce import fused_topk_matmul
 
 __all__ = ["BruteForceIndex"]
 
@@ -50,7 +51,10 @@ class BruteForceIndex:
     dtype : "fp32" | "bf16" | "int8" compute path.
     select : "auto" | "exact" | "two_stage" | "iterative" | "approx"
         k-selection strategy ("auto": exact — iterative argmax passes for
-        small k, blocked two-stage otherwise).
+        small k, blocked two-stage otherwise).  XLA engine only.
+    engine : "xla" (score GEMM + separate on-device selection) or "pallas"
+        (fused streaming kernel — the [B, N] score matrix never reaches
+        HBM; preferred for large N).
     device : optional jax.Device to place the index on.
     """
 
@@ -60,6 +64,7 @@ class BruteForceIndex:
         metric: str = "ip",
         dtype: str = "bf16",
         select: str = "auto",
+        engine: str = "xla",
         device: jax.Device | None = None,
     ):
         if metric not in ("ip", "l2"):
@@ -68,36 +73,70 @@ class BruteForceIndex:
             raise ValueError(f"unknown dtype {dtype!r}")
         if select not in _SELECT_FNS:
             raise ValueError(f"unknown select {select!r}")
+        if engine not in ("xla", "pallas"):
+            raise ValueError(f"unknown engine {engine!r}")
         if dtype == "int8" and metric != "ip":
             raise ValueError("int8 path supports metric='ip' only (like the reference NPU path)")
 
         self.metric = metric
         self.dtype = dtype
         self.select = select
+        self.engine = engine
         self.n, self.dim = base.shape
         self._device = device
 
         put = functools.partial(jax.device_put, device=device)
         base_f32 = jnp.asarray(base, dtype=jnp.float32)
+        self._base = self._base_t = self._base_scale = self._base_norms = None
         if dtype == "int8":
             qt = quantize.quantize_int8(base_f32)
-            self._base = put(qt.values)
             self._base_scale = put(qt.scale)
-        elif dtype == "bf16":
-            self._base = put(base_f32.astype(jnp.bfloat16))
-            self._base_scale = None
+            if engine == "pallas":
+                self._base_t = put(qt.values.T)
+            else:
+                self._base = put(qt.values)
+        elif engine == "pallas":
+            # Fused kernel computes inner products only; L2 ranking folds in
+            # via augmentation: q' = [q, 1], b' = [b, -‖b‖²/2] gives
+            # q'·b' = q·b - ‖b‖²/2, a monotone map of the L2 score.
+            bt = base_f32.T
+            if metric == "l2":
+                bt = jnp.concatenate(
+                    [bt, -0.5 * distances.base_norms_sq(base_f32)[None, :]], axis=0
+                )
+            self._base_t = put(bt.astype(jnp.bfloat16) if dtype == "bf16" else bt)
         else:
-            self._base = put(base_f32)
-            self._base_scale = None
-        self._base_norms = (
-            put(distances.base_norms_sq(base_f32)) if metric == "l2" else None
-        )
+            self._base = put(
+                base_f32.astype(jnp.bfloat16) if dtype == "bf16" else base_f32
+            )
+            self._base_norms = (
+                put(distances.base_norms_sq(base_f32)) if metric == "l2" else None
+            )
         self._search_jit = jax.jit(self._search_impl, static_argnames=("k",))
 
     # ------------------------------------------------------------------ impl
 
+    def _search_pallas(self, queries: jax.Array, k: int):
+        if self.dtype == "int8":
+            q = quantize.quantize_int8(queries, per_row=True)
+            vals_i32, ids = fused_topk_matmul(q.values, self._base_t, k)
+            vals = quantize.dequantize(vals_i32, q.scale, self._base_scale)
+            return vals, ids
+        if self.metric == "l2":
+            queries = jnp.concatenate(
+                [queries, jnp.ones((queries.shape[0], 1), queries.dtype)], axis=1
+            )
+        q = queries.astype(jnp.bfloat16) if self.dtype == "bf16" else queries
+        vals, ids = fused_topk_matmul(q, self._base_t, k)
+        if self.metric == "l2":
+            vals = 2.0 * vals  # back to the 2q·b - ‖b‖² convention
+        return vals, ids
+
     def _search_impl(self, queries: jax.Array, k: int):
         """Device-side search: queries [B, D] f32 → (scores [B,k] f32, ids [B,k] i32)."""
+        if self.engine == "pallas":
+            vals, ids = self._search_pallas(queries, k)
+            return vals.astype(jnp.float32), ids.astype(jnp.int32)
         sel = _SELECT_FNS[self.select]
         if self.dtype == "int8":
             q = quantize.quantize_int8(queries, per_row=True)

@@ -56,3 +56,17 @@ def test_int8_rejects_l2(small_data):
     base, _ = small_data
     with pytest.raises(ValueError, match="int8"):
         BruteForceIndex(base, metric="l2", dtype="int8")
+
+
+@pytest.mark.parametrize("dtype,metric", [("fp32", "ip"), ("fp32", "l2"), ("bf16", "ip"), ("int8", "ip")])
+def test_pallas_engine_matches_xla(small_data, dtype, metric):
+    base, queries = small_data
+    xla = BruteForceIndex(base, metric=metric, dtype=dtype, engine="xla", select="iterative")
+    pls = BruteForceIndex(base, metric=metric, dtype=dtype, engine="pallas")
+    ids_x, s_x = xla.search(queries, k=10)
+    ids_p, s_p = pls.search(queries, k=10)
+    if dtype == "fp32":
+        np.testing.assert_array_equal(ids_x, ids_p)
+        np.testing.assert_allclose(s_x, s_p, rtol=1e-5)
+    else:
+        assert recall_at_k(ids_p, ids_x, 10) >= 0.95
