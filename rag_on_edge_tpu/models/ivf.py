@@ -38,9 +38,43 @@ import numpy as np
 from rag_on_edge_tpu.models import kmeans as kmeans_mod
 from rag_on_edge_tpu.ops import distances, topk
 
-__all__ = ["IVFIndex", "fine_scan"]
+__all__ = ["IVFIndex", "fine_scan", "invert_probes"]
 
 _NEG_INF = float("-inf")
+
+
+def invert_probes(probes: jax.Array, nlist: int, qcap: int):
+    """Invert the query→cluster probe map into cluster→query lists.
+
+    The TPU-native dispatch for cluster-major IVF execution — exactly the
+    MoE token-routing problem (queries = tokens, clusters = experts,
+    nprobe = top-k routing) and solved the same way: sort by destination,
+    rank within segment, scatter into a fixed-capacity table.  Pairs beyond
+    a cluster's capacity are dropped (the MoE "capacity factor" trade) and
+    counted, so callers can size ``qcap`` for zero spill.
+
+    probes: [B, P] int32 cluster ids (distinct within a row).
+    Returns (cluster_queries [nlist, qcap] int32 query index or -1,
+             slot [B, P] int32 slot within the cluster's list or -1 if
+             dropped,
+             spill count — scalar int32).
+    """
+    b, p = probes.shape
+    flat_c = probes.reshape(-1)
+    flat_q = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
+    order = jnp.argsort(flat_c, stable=True)
+    c_s = flat_c[order]
+    q_s = flat_q[order]
+    counts = jnp.bincount(flat_c, length=nlist)
+    starts = jnp.concatenate([jnp.zeros(1, counts.dtype), jnp.cumsum(counts)[:-1]])
+    rank = jnp.arange(b * p, dtype=jnp.int32) - starts[c_s].astype(jnp.int32)
+
+    cluster_queries = jnp.full((nlist, qcap), -1, dtype=jnp.int32)
+    cluster_queries = cluster_queries.at[c_s, rank].set(q_s, mode="drop")
+    kept = rank < qcap
+    slot_sorted = jnp.where(kept, rank, -1)
+    slot = jnp.zeros(b * p, jnp.int32).at[order].set(slot_sorted).reshape(b, p)
+    return cluster_queries, slot, jnp.sum(~kept).astype(jnp.int32)
 
 
 def fine_scan(
@@ -118,7 +152,21 @@ class IVFIndex:
     """IVF index with cluster-contiguous storage and on-device search.
 
     Construct via :meth:`build` or :meth:`load`.
+
+    Two fine-scan execution strategies:
+
+    - **query-major** (:meth:`_search_impl`): each query gathers its probed
+      cluster slabs — lowest latency for small batches; bandwidth scales
+      with B·nprobe·cluster_size.
+    - **cluster-major** (:meth:`_search_cluster_major_impl`): the probe map
+    is inverted (MoE-style dispatch, :func:`invert_probes`) and each
+      probed cluster is scored once against *all* queries probing it — the
+      slab read is amortized across the batch, so large batches approach
+      one full-database read per batch regardless of B, with compute cut
+      by nprobe/nlist vs brute force.
     """
+
+    PAD_BLOCK = 512  # cluster slabs padded to this row multiple on device
 
     def __init__(
         self,
@@ -140,6 +188,7 @@ class IVFIndex:
         self.n, self.dim = vectors_reordered.shape
         sizes = np.diff(cluster_offsets).astype(np.int32)
         self.max_cluster_size = int(sizes.max())
+        self.max_cluster_padded = int(-(-self.max_cluster_size // self.PAD_BLOCK) * self.PAD_BLOCK)
         self.config = config or {}
         self.config.update(
             {
@@ -155,26 +204,46 @@ class IVFIndex:
             }
         )
 
-        # Host copies for serialization.
+        # Host copies for serialization (artifact set mirrors the reference).
         self._centroids_np = np.asarray(centroids, dtype=np.float32)
         self._vectors_np = np.asarray(vectors_reordered, dtype=np.float32)
         self._offsets_np = np.asarray(cluster_offsets, dtype=np.int32)
         self._reorder_np = np.asarray(reorder_to_original, dtype=np.int32)
 
+        # Device layout: every cluster slab padded to a multiple of
+        # PAD_BLOCK rows so slab starts are block-aligned (static-shape
+        # friendly for both the gather fine scan and the cluster-major
+        # kernel).  Padding rows are zero vectors, always masked by size.
+        pb = self.PAD_BLOCK
+        padded_sizes = -(-sizes // pb) * pb
+        padded_offsets = np.zeros(self.nlist + 1, dtype=np.int64)
+        np.cumsum(padded_sizes, out=padded_offsets[1:])
+        self.n_padded = int(padded_offsets[-1])
+        vec_padded = np.zeros((self.n_padded, self.dim), dtype=np.float32)
+        reorder_padded = np.full(self.n_padded, -1, dtype=np.int32)
+        for c in range(self.nlist):
+            src0, src1 = int(cluster_offsets[c]), int(cluster_offsets[c + 1])
+            dst0 = int(padded_offsets[c])
+            vec_padded[dst0 : dst0 + (src1 - src0)] = self._vectors_np[src0:src1]
+            reorder_padded[dst0 : dst0 + (src1 - src0)] = self._reorder_np[src0:src1]
+
         # Device-resident index state.
-        vec_f32 = jnp.asarray(self._vectors_np)
+        vec_dev = jnp.asarray(vec_padded)
         self._centroids = jnp.asarray(self._centroids_np)
-        self._vectors = vec_f32.astype(jnp.bfloat16) if dtype == "bf16" else vec_f32
-        self._offsets = jnp.asarray(self._offsets_np[:-1])
+        self._vectors = vec_dev.astype(jnp.bfloat16) if dtype == "bf16" else vec_dev
+        self._offsets = jnp.asarray(padded_offsets[:-1].astype(np.int32))
         self._sizes = jnp.asarray(sizes)
-        self._reorder = jnp.asarray(self._reorder_np)
+        self._reorder = jnp.asarray(reorder_padded)
         self._centroid_norms = (
             distances.base_norms_sq(self._centroids) if metric == "l2" else None
         )
-        self._vector_norms = distances.base_norms_sq(vec_f32) if metric == "l2" else None
+        self._vector_norms = distances.base_norms_sq(vec_dev) if metric == "l2" else None
 
         self._search_jit = jax.jit(
             self._search_impl, static_argnames=("k", "nprobe", "probe_chunk")
+        )
+        self._search_cm_jit = jax.jit(
+            self._search_cluster_major_impl, static_argnames=("k", "nprobe", "qcap")
         )
 
     # ------------------------------------------------------------------ build
@@ -249,6 +318,74 @@ class IVFIndex:
         ids = jnp.where(best_v > _NEG_INF, self._reorder[best_i], -1)
         return best_v, ids.astype(jnp.int32), n_candidates.astype(jnp.int32)
 
+    def _search_cluster_major_impl(self, queries: jax.Array, k: int, nprobe: int, qcap: int):
+        """Cluster-major search (see class docstring).
+
+        Returns (scores [B,k] f32, ids [B,k] i32, n_candidates [B] i32,
+        spill i32).  Exact within the probed set when spill == 0.
+        """
+        q = queries.astype(jnp.float32)
+        b = q.shape[0]
+        nprobe = min(nprobe, self.nlist)
+        smax = self.max_cluster_padded
+
+        # STAGE 1 — coarse centroid scores + top-nprobe (as query-major).
+        coarse = distances.score_matrix(
+            q, self._centroids, metric=self.metric, base_norms=self._centroid_norms
+        )
+        _, probes = jax.lax.top_k(coarse, nprobe)  # [B, P]
+        n_candidates = jnp.sum(self._sizes[probes], axis=1)
+
+        # STAGE 2 — invert the probe map (MoE-style dispatch) and gather
+        # each cluster's probing queries into a dense [nlist, qcap, D].
+        cq, slot, spill = invert_probes(probes, self.nlist, qcap)
+        qg = q[jnp.clip(cq, 0)]  # [nlist, qcap, D]
+        qg = jnp.where((cq >= 0)[..., None], qg, 0.0).astype(self._vectors.dtype)
+
+        # STAGE 3 — one pass over probed clusters: per cluster, one
+        # [qcap, D] x [D, S] GEMM against the (block-aligned) slab and a
+        # per-slot top-k.  lax.scan streams slabs; XLA double-buffers.
+        arange_s = jnp.arange(smax, dtype=jnp.int32)
+
+        def per_cluster(_, xs):
+            boff, size, qg_c, cq_c = xs
+            slab = jax.lax.dynamic_slice(
+                self._vectors, (boff, jnp.int32(0)), (smax, self.dim)
+            )  # [S, D]
+            scores = jax.lax.dot_general(
+                qg_c, slab, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [qcap, S]
+            rows = boff + arange_s
+            if self.metric == "l2":
+                norms = jax.lax.dynamic_slice(self._vector_norms, (boff,), (smax,))
+                scores = 2.0 * scores - norms[None, :]
+            valid = (arange_s < size)[None, :] & (cq_c >= 0)[:, None]
+            scores = jnp.where(valid, scores, _NEG_INF)
+            kk = min(k, smax)
+            v, idx = topk.iterative_topk(scores, kk)
+            r = rows[idx]
+            if kk < k:
+                v = jnp.pad(v, ((0, 0), (0, k - kk)), constant_values=_NEG_INF)
+                r = jnp.pad(r, ((0, 0), (0, k - kk)))
+            return None, (v, r)
+
+        _, (pv, pr) = jax.lax.scan(
+            per_cluster,
+            None,
+            (self._offsets, self._sizes, qg, cq),
+        )  # pv/pr: [nlist, qcap, k]
+
+        # STAGE 4 — per query, gather its (cluster, slot) partials and
+        # re-select k (the join step).
+        ok = slot >= 0
+        sl = jnp.clip(slot, 0)
+        gv = jnp.where(ok[..., None], pv[probes, sl], _NEG_INF).reshape(b, -1)
+        gr = pr[probes, sl].reshape(b, -1)
+        best_v, sel = jax.lax.top_k(gv, k)
+        best_r = jnp.take_along_axis(gr, sel, axis=1)
+        ids = jnp.where(best_v > _NEG_INF, self._reorder[best_r], -1)
+        return best_v, ids.astype(jnp.int32), n_candidates.astype(jnp.int32), spill
+
     # ------------------------------------------------------------------ API
 
     def _auto_probe_chunk(self, batch: int, budget_bytes: int = 256 << 20) -> int:
@@ -257,11 +394,44 @@ class IVFIndex:
         )
         return max(1, budget_bytes // max(bytes_per_probe, 1))
 
+    def _auto_qcap(self, batch: int, nprobe: int, capacity_factor: float = 4.0) -> int:
+        """MoE-style capacity: ~capacity_factor x the mean cluster load,
+        rounded up to 128, capped at the batch size (zero-spill bound)."""
+        mean_load = batch * min(nprobe, self.nlist) / self.nlist
+        cap = int(-(-capacity_factor * mean_load // 128) * 128)
+        return max(128, min(batch, cap))
+
+    def _pick_mode(self, batch: int, nprobe: int) -> str:
+        # Cluster-major's fixed cost is one padded-database pass; it wins
+        # once the query-major gather volume (B x nprobe x avg slab)
+        # exceeds that.
+        qm_rows = batch * min(nprobe, self.nlist) * (self.n_padded / self.nlist)
+        return "cluster" if qm_rows >= self.n_padded else "query"
+
     def search_device(
-        self, queries: jax.Array, k: int, nprobe: int, probe_chunk: int | None = None
+        self,
+        queries: jax.Array,
+        k: int,
+        nprobe: int,
+        probe_chunk: int | None = None,
+        mode: str = "auto",
+        qcap: int | None = None,
     ):
-        """On-device search → (scores [B,k], ids [B,k], n_candidates [B])."""
-        pc = probe_chunk or self._auto_probe_chunk(queries.shape[0])
+        """On-device search → (scores [B,k], ids [B,k], n_candidates [B]).
+
+        mode: "auto" | "query" | "cluster" fine-scan strategy.
+        """
+        b = queries.shape[0]
+        if mode == "auto":
+            mode = self._pick_mode(b, nprobe)
+        if mode == "cluster":
+            vals, ids, ncand, _spill = self._search_cm_jit(
+                queries, k, nprobe, qcap or self._auto_qcap(b, nprobe)
+            )
+            return vals, ids, ncand
+        if mode != "query":
+            raise ValueError(f"unknown mode {mode!r}")
+        pc = probe_chunk or self._auto_probe_chunk(b)
         return self._search_jit(queries, k, nprobe, pc)
 
     def search(
@@ -270,6 +440,7 @@ class IVFIndex:
         k: int,
         nprobe: int = 16,
         batch_size: int | None = None,
+        mode: str = "auto",
     ):
         """Host API → (ids [Q,k] i32, scores [Q,k] f32, avg_candidates float)."""
         queries = np.asarray(queries, dtype=np.float32)
@@ -283,16 +454,16 @@ class IVFIndex:
             pad = bs - chunk.shape[0]
             if pad:
                 chunk = np.pad(chunk, ((0, pad), (0, 0)))
-            vals, ids, ncand = self.search_device(jnp.asarray(chunk), k, nprobe)
+            vals, ids, ncand = self.search_device(jnp.asarray(chunk), k, nprobe, mode=mode)
             got = bs - pad
             ids_out[start : start + got] = np.asarray(ids)[:got]
             scores_out[start : start + got] = np.asarray(vals)[:got]
             total_cand += int(np.asarray(ncand)[:got].sum())
         return ids_out, scores_out, total_cand / nq
 
-    def compile(self, batch_size: int, k: int, nprobe: int) -> None:
+    def compile(self, batch_size: int, k: int, nprobe: int, mode: str = "auto") -> None:
         dummy = jnp.zeros((batch_size, self.dim), dtype=jnp.float32)
-        jax.block_until_ready(self.search_device(dummy, k, nprobe))
+        jax.block_until_ready(self.search_device(dummy, k, nprobe, mode=mode))
 
     # ------------------------------------------------------------ persistence
 

@@ -53,8 +53,35 @@ def assign_clusters(x: jax.Array, centroids: jax.Array, chunk: int = 131_072) ->
 def _lloyd_step(x: jax.Array, centroids: jax.Array, chunk: int):
     assign = assign_clusters(x, centroids, chunk=chunk)
     nlist = centroids.shape[0]
-    sums = jax.ops.segment_sum(x, assign, num_segments=nlist)
-    counts = jax.ops.segment_sum(jnp.ones((x.shape[0],), jnp.float32), assign, num_segments=nlist)
+
+    # Cluster sums via a one-hot GEMM (scatter-add serializes on TPU; a
+    # [nlist, uc] x [uc, D] matmul runs on the MXU instead).  The update
+    # chunk is kept small: the one-hot is [nlist, uc] f32 and must not
+    # dominate memory traffic.
+    uc = min(8192, x.shape[0])
+
+    def chunk_sums(carry, args):
+        sums, counts = carry
+        xc, ac = args
+        onehot = (ac[None, :] == jnp.arange(nlist, dtype=jnp.int32)[:, None]).astype(
+            jnp.float32
+        )  # [nlist, uc]
+        sums += jax.lax.dot_general(
+            onehot, xc, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return (sums, counts + jnp.sum(onehot, axis=1)), None
+
+    n, d = x.shape
+    pad = (-n) % uc
+    xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+    # padded rows get an out-of-range id so they hit no cluster
+    ap = jnp.pad(assign, (0, pad), constant_values=nlist) if pad else assign
+    n_chunks = (n + pad) // uc
+    init = (jnp.zeros((nlist, d), jnp.float32), jnp.zeros((nlist,), jnp.float32))
+    (sums, counts), _ = jax.lax.scan(
+        chunk_sums, init, (xp.reshape(n_chunks, uc, d), ap.reshape(n_chunks, uc))
+    )
+
     new = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), centroids)
     shift = jnp.max(jnp.sum((new - centroids) ** 2, axis=1))
     return new, assign, shift

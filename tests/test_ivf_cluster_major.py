@@ -1,0 +1,84 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rag_on_edge_tpu.models.ivf import IVFIndex, invert_probes
+from rag_on_edge_tpu.utils.datasets import ground_truth
+from rag_on_edge_tpu.utils.metrics import recall_at_k
+
+
+@pytest.fixture(scope="module")
+def ivf(small_data):
+    base, _ = small_data
+    return IVFIndex.build(base, nlist=16, metric="ip", seed=42, max_iter=20)
+
+
+def test_invert_probes_roundtrip(rng):
+    b, p, nlist = 64, 4, 16
+    # distinct clusters per row
+    probes = np.stack([rng.choice(nlist, size=p, replace=False) for _ in range(b)]).astype(np.int32)
+    cq, slot, spill = invert_probes(jnp.asarray(probes), nlist, qcap=b)
+    cq, slot = np.asarray(cq), np.asarray(slot)
+    assert int(spill) == 0
+    # every (query, probe) pair appears exactly at its recorded slot
+    for q in range(b):
+        for j in range(p):
+            c, s = probes[q, j], slot[q, j]
+            assert s >= 0 and cq[c, s] == q
+    # counts match
+    assert (cq >= 0).sum() == b * p
+
+
+def test_invert_probes_spill_counted(rng):
+    probes = jnp.zeros((8, 1), jnp.int32)  # all 8 queries probe cluster 0
+    cq, slot, spill = invert_probes(probes, nlist=4, qcap=4)
+    assert int(spill) == 4
+    assert int((np.asarray(slot) >= 0).sum()) == 4
+
+
+def test_cluster_major_matches_query_major(small_data, ivf):
+    _, queries = small_data
+    q = jnp.asarray(queries)
+    for nprobe in (4, 16):
+        v_q, i_q, c_q = ivf.search_device(q, k=10, nprobe=nprobe, mode="query")
+        v_c, i_c, c_c = ivf.search_device(q, k=10, nprobe=nprobe, mode="cluster", qcap=q.shape[0])
+        np.testing.assert_allclose(np.asarray(v_q), np.asarray(v_c), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(c_q), np.asarray(c_c))
+        assert recall_at_k(np.asarray(i_c), np.asarray(i_q), 10) >= 0.999
+
+
+def test_cluster_major_full_probe_exact(small_data, ivf):
+    base, queries = small_data
+    gt = ground_truth(base, queries, 10, metric="ip", backend="numpy")
+    ids, _, _ = ivf.search(queries, k=10, nprobe=16, mode="cluster")
+    assert recall_at_k(ids, gt, 10) >= 0.999
+
+
+def test_cluster_major_l2(small_data):
+    base, queries = small_data
+    idx = IVFIndex.build(base, nlist=16, metric="l2", seed=42, max_iter=10)
+    gt = ground_truth(base, queries, 10, metric="l2", backend="numpy")
+    ids, _, _ = idx.search(queries, k=10, nprobe=16, mode="cluster")
+    assert recall_at_k(ids, gt, 10) >= 0.999
+
+
+def test_auto_mode_picks_cluster_for_big_batches(ivf):
+    assert ivf._pick_mode(batch=1024, nprobe=8) == "cluster"
+    assert ivf._pick_mode(batch=1, nprobe=2) == "query"
+
+
+def test_padded_layout_invariants(small_data, ivf):
+    base, _ = small_data
+    offs = np.asarray(ivf._offsets)
+    sizes = np.asarray(ivf._sizes)
+    assert (offs % ivf.PAD_BLOCK == 0).all()
+    reorder = np.asarray(ivf._reorder)
+    vecs = np.asarray(ivf._vectors)
+    # padded rows have reorder -1 and zero vectors; real rows match base
+    for c in range(ivf.nlist):
+        o, s = offs[c], sizes[c]
+        assert (reorder[o : o + s] >= 0).all()
+        np.testing.assert_array_equal(vecs[o : o + s], base[reorder[o : o + s]])
+        pad_end = o + ((s + ivf.PAD_BLOCK - 1) // ivf.PAD_BLOCK) * ivf.PAD_BLOCK
+        assert (reorder[o + s : pad_end] == -1).all()
+        assert (vecs[o + s : pad_end] == 0).all()
