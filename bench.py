@@ -13,7 +13,43 @@ import sys
 REFERENCE_QPS = 5208.0  # reference README.md:143 (batch=32 INT8 brute force)
 
 
+def _stream_qps(micro_batches: int = 16, batch: int = 32, k: int = 5) -> float:
+    """Sustained QPS in stream mode: one dispatch drains `micro_batches`
+    batch-32 searches (a serving queue's behavior)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rag_on_edge_tpu.models.brute_force import BruteForceIndex
+    from rag_on_edge_tpu.utils.datasets import load_dataset
+
+    ds = load_dataset("siftsmall", gt_k=k)
+    index = BruteForceIndex(ds.base, dtype="int8")
+    rng = np.random.default_rng(0)
+    streams = [
+        jnp.asarray(
+            rng.permuted(
+                np.resize(ds.queries, (micro_batches * batch, ds.queries.shape[1])), axis=0
+            ).reshape(micro_batches, batch, -1)
+        )
+        for _ in range(3)
+    ]
+    jax.block_until_ready(index.search_stream_device(streams[0], k))
+    iters = 50
+    t0 = time.perf_counter()
+    out = None
+    for i in range(iters):
+        out = index.search_stream_device(streams[i % len(streams)], k)
+    jax.block_until_ready(out)
+    return micro_batches * batch * iters / (time.perf_counter() - t0)
+
+
 def main() -> None:
+    from rag_on_edge_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from rag_on_edge_tpu.harness.bench_bruteforce import run
 
     r = run(
@@ -34,6 +70,7 @@ def main() -> None:
                 "vs_baseline": round(r["qps"] / REFERENCE_QPS, 3),
                 "recall_at_5": round(r["recall"], 4),
                 "batch_latency_ms_p50": round(r["latency"].p50, 4),
+                "stream_qps_b32x16": round(_stream_qps(), 1),
             }
         )
     )

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rag_on_edge_tpu.harness import timing
+from rag_on_edge_tpu.utils.cache import enable_compilation_cache
 from rag_on_edge_tpu.models.brute_force import BruteForceIndex
 from rag_on_edge_tpu.utils import metrics
 from rag_on_edge_tpu.utils.datasets import load_dataset
@@ -134,6 +135,7 @@ def run(
 
 
 def main(argv=None) -> None:
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataset", default="siftsmall")
     p.add_argument("--batch", type=int, default=32)

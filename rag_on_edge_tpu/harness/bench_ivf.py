@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rag_on_edge_tpu.harness import timing
+from rag_on_edge_tpu.utils.cache import enable_compilation_cache
 from rag_on_edge_tpu.harness.bench_bruteforce import _device_batches
 from rag_on_edge_tpu.models.ivf import IVFIndex
 from rag_on_edge_tpu.models.kmeans import default_nlist
@@ -136,6 +137,7 @@ def run(
 
 
 def main(argv=None) -> None:
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataset", default="siftsmall")
     p.add_argument("--nlist", type=int, default=None)

@@ -1,0 +1,91 @@
+"""Configuration sweep harness.
+
+The rebuild of the reference's L5 orchestration (``scripts/run_all.sh`` —
+dataset × batch-size sweep — and ``scripts/run_all_ivf.sh`` — nprobe sweep),
+minus the adb/NDK plumbing the TPU doesn't need: one process drives every
+configuration and aggregates the same CSV schemas into a timestamped file
+(``run_all.sh:53-57``).
+
+Usage:
+    python -m rag_on_edge_tpu.harness.sweep brute --dataset siftsmall \
+        --batches 1 8 16 32 64
+    python -m rag_on_edge_tpu.harness.sweep ivf --dataset siftsmall \
+        --nprobe 8 16 32 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+
+from rag_on_edge_tpu.harness import bench_bruteforce, bench_ivf
+
+__all__ = ["sweep_bruteforce", "sweep_ivf", "main"]
+
+
+def _stamped(outdir: str, prefix: str) -> str:
+    ts = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+    return os.path.join(outdir, f"{prefix}_{ts}")
+
+
+def sweep_bruteforce(
+    dataset: str = "siftsmall",
+    batches: tuple[int, ...] = (1, 8, 16, 32, 64),
+    k: int = 5,
+    dtype: str = "int8",
+    outdir: str = "results",
+) -> list[dict]:
+    """Batch-size sweep (the reference's {1,8,16,32,64}, ``run_all.sh:22``)."""
+    out = _stamped(outdir, f"sweep_brute_{dataset}")
+    return [
+        bench_bruteforce.run(dataset=dataset, batch=b, k=k, dtype=dtype, outdir=out)
+        for b in batches
+    ]
+
+
+def sweep_ivf(
+    dataset: str = "siftsmall",
+    nprobes: tuple[int, ...] = (8, 16, 32, 64),
+    k: int = 10,
+    batch: int = 32,
+    nlist: int | None = None,
+    dtype: str = "fp32",
+    outdir: str = "results",
+) -> list[dict]:
+    """nprobe sweep (the reference's {8,16,32,64} with top_k=10,
+    ``run_all_ivf.sh:26-27``)."""
+    out = _stamped(outdir, f"sweep_ivf_{dataset}")
+    return bench_ivf.run(
+        dataset=dataset, nprobes=tuple(nprobes), k=k, batch=batch,
+        nlist=nlist, dtype=dtype, outdir=out,
+    )
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    pb = sub.add_parser("brute")
+    pb.add_argument("--dataset", default="siftsmall")
+    pb.add_argument("--batches", type=int, nargs="+", default=[1, 8, 16, 32, 64])
+    pb.add_argument("--k", type=int, default=5)
+    pb.add_argument("--dtype", default="int8")
+    pb.add_argument("--outdir", default="results")
+    pi = sub.add_parser("ivf")
+    pi.add_argument("--dataset", default="siftsmall")
+    pi.add_argument("--nprobe", type=int, nargs="+", default=[8, 16, 32, 64])
+    pi.add_argument("--k", type=int, default=10)
+    pi.add_argument("--batch", type=int, default=32)
+    pi.add_argument("--nlist", type=int, default=None)
+    pi.add_argument("--dtype", default="fp32")
+    pi.add_argument("--outdir", default="results")
+    args = p.parse_args(argv)
+    if args.cmd == "brute":
+        sweep_bruteforce(args.dataset, tuple(args.batches), args.k, args.dtype, args.outdir)
+    else:
+        sweep_ivf(args.dataset, tuple(args.nprobe), args.k, args.batch, args.nlist,
+                  args.dtype, args.outdir)
+
+
+if __name__ == "__main__":
+    main()

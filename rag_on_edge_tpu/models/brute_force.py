@@ -55,6 +55,10 @@ class BruteForceIndex:
     engine : "xla" (score GEMM + separate on-device selection) or "pallas"
         (fused streaming kernel — the [B, N] score matrix never reaches
         HBM; preferred for large N).
+    rescore : for quantized paths (int8/bf16), select 2k candidates in the
+        quantized domain and recompute their exact fp32 scores before the
+        final top-k — restores exact recall at the cost of keeping an fp32
+        copy of the base and a [B, 2k, D] gather per batch.
     device : optional jax.Device to place the index on.
     """
 
@@ -65,6 +69,7 @@ class BruteForceIndex:
         dtype: str = "bf16",
         select: str = "auto",
         engine: str = "xla",
+        rescore: bool = False,
         device: jax.Device | None = None,
     ):
         if metric not in ("ip", "l2"):
@@ -82,11 +87,18 @@ class BruteForceIndex:
         self.dtype = dtype
         self.select = select
         self.engine = engine
+        self.rescore = rescore and dtype != "fp32"
         self.n, self.dim = base.shape
         self._device = device
 
         put = functools.partial(jax.device_put, device=device)
         base_f32 = jnp.asarray(base, dtype=jnp.float32)
+        self._base_f32 = put(base_f32) if self.rescore else None
+        self._rescore_norms = (
+            put(distances.base_norms_sq(base_f32))
+            if self.rescore and metric == "l2"
+            else None
+        )
         self._base = self._base_t = self._base_scale = self._base_norms = None
         if dtype == "int8":
             qt = quantize.quantize_int8(base_f32)
@@ -113,6 +125,10 @@ class BruteForceIndex:
                 put(distances.base_norms_sq(base_f32)) if metric == "l2" else None
             )
         self._search_jit = jax.jit(self._search_impl, static_argnames=("k",))
+        self._stream_jit = jax.jit(
+            lambda qq, k: jax.lax.map(functools.partial(self._search_impl, k=k), qq),
+            static_argnames=("k",),
+        )
 
     # ------------------------------------------------------------------ impl
 
@@ -132,17 +148,35 @@ class BruteForceIndex:
             vals = 2.0 * vals  # back to the 2q·b - ‖b‖² convention
         return vals, ids
 
+    def _rescore_exact(self, queries: jax.Array, cand_ids: jax.Array, k: int):
+        """Recompute exact fp32 scores for the candidate set and re-select k.
+        cand_ids: [B, k'] (k' ≥ k) from the quantized selection."""
+        cand = self._base_f32[cand_ids]  # [B, k', D]
+        scores = jnp.einsum(
+            "bcd,bd->bc", cand, queries, preferred_element_type=jnp.float32
+        )
+        if self.metric == "l2":
+            scores = 2.0 * scores - self._rescore_norms[cand_ids]
+        vals, sel = jax.lax.top_k(scores, k)
+        return vals, jnp.take_along_axis(cand_ids, sel, axis=1)
+
     def _search_impl(self, queries: jax.Array, k: int):
         """Device-side search: queries [B, D] f32 → (scores [B,k] f32, ids [B,k] i32)."""
+        kq = min(2 * k, self.n) if self.rescore else k
         if self.engine == "pallas":
-            vals, ids = self._search_pallas(queries, k)
+            vals, ids = self._search_pallas(queries, kq)
+            if self.rescore:
+                vals, ids = self._rescore_exact(queries, ids, k)
             return vals.astype(jnp.float32), ids.astype(jnp.int32)
         sel = _SELECT_FNS[self.select]
         if self.dtype == "int8":
             q = quantize.quantize_int8(queries, per_row=True)
             raw = distances.score_matrix_int8(q.values, self._base)
-            vals_i32, ids = sel(raw, k)
-            vals = quantize.dequantize(vals_i32, q.scale, self._base_scale)
+            vals_i32, ids = sel(raw, kq)
+            if self.rescore:
+                vals, ids = self._rescore_exact(queries, ids, k)
+            else:
+                vals = quantize.dequantize(vals_i32, q.scale, self._base_scale)
             return vals, ids.astype(jnp.int32)
         compute_dtype = jnp.bfloat16 if self.dtype == "bf16" else None
         scores = distances.score_matrix(
@@ -152,7 +186,9 @@ class BruteForceIndex:
             base_norms=self._base_norms,
             compute_dtype=compute_dtype,
         )
-        vals, ids = sel(scores, k)
+        vals, ids = sel(scores, kq)
+        if self.rescore:
+            vals, ids = self._rescore_exact(queries, ids, k)
         return vals, ids.astype(jnp.int32)
 
     # ------------------------------------------------------------------ API
@@ -160,6 +196,16 @@ class BruteForceIndex:
     def search_device(self, queries: jax.Array, k: int):
         """On-device search; inputs/outputs stay device arrays (the hot path)."""
         return self._search_jit(queries, k)
+
+    def search_stream_device(self, query_stream: jax.Array, k: int):
+        """Stream mode: one dispatch processes a stack of micro-batches
+        [M, B, D] → (scores [M, B, k], ids [M, B, k]).
+
+        A serving queue drains M waiting batches per device call,
+        amortizing per-dispatch overhead (measured ~0.3 ms on this
+        tunnelled v5e vs ~35 µs device time per batch-32 search).
+        """
+        return self._stream_jit(query_stream, k)
 
     def search(self, queries: np.ndarray, k: int, batch_size: int | None = None):
         """Host API: numpy queries [Q, D] → (ids [Q, k] i32, scores [Q, k] f32).

@@ -70,3 +70,27 @@ def test_pallas_engine_matches_xla(small_data, dtype, metric):
         np.testing.assert_allclose(s_x, s_p, rtol=1e-5)
     else:
         assert recall_at_k(ids_p, ids_x, 10) >= 0.95
+
+
+def test_stream_mode_matches_batched(small_data):
+    import jax.numpy as jnp
+
+    base, queries = small_data
+    idx = BruteForceIndex(base, dtype="fp32", select="iterative")
+    stream = jnp.asarray(queries[:32].reshape(4, 8, -1))
+    v_s, i_s = idx.search_stream_device(stream, 5)
+    ids, scores = idx.search(queries[:32], k=5, batch_size=8)
+    np.testing.assert_array_equal(np.asarray(i_s).reshape(32, 5), ids)
+    np.testing.assert_allclose(np.asarray(v_s).reshape(32, 5), scores, rtol=1e-6)
+
+
+@pytest.mark.parametrize("dtype,engine", [("int8", "xla"), ("int8", "pallas"), ("bf16", "xla")])
+def test_rescore_restores_exact_recall(small_data, dtype, engine):
+    base, queries = small_data
+    idx = BruteForceIndex(base, dtype=dtype, engine=engine, rescore=True)
+    ids, scores = idx.search(queries, k=10)
+    gt = ground_truth(base, queries, 10, metric="ip", backend="numpy")
+    assert recall_at_k(ids, gt, 10) >= 0.99
+    # rescored scores are exact fp32 dot products
+    true = np.take_along_axis(queries @ base.T, ids.astype(np.int64), axis=1)
+    np.testing.assert_allclose(scores, true, rtol=1e-5)

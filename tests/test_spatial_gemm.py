@@ -1,0 +1,56 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rag_on_edge_tpu.ops.pallas_matmul import tiled_matmul
+from rag_on_edge_tpu.parallel.spatial_gemm import make_mesh_2d, spatial_matmul, verify_matmul
+
+
+def test_tiled_matmul_fp32(rng):
+    a = jnp.asarray(rng.normal(size=(300, 200)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(200, 450)).astype(np.float32))
+    c = tiled_matmul(a, b, bm=128, bn=256, bk=128)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(a) @ np.asarray(b), rtol=1e-4, atol=1e-3)
+
+
+def test_tiled_matmul_int8(rng):
+    a = jnp.asarray(rng.integers(-127, 128, size=(64, 128)), dtype=jnp.int8)
+    b = jnp.asarray(rng.integers(-127, 128, size=(128, 256)), dtype=jnp.int8)
+    c = tiled_matmul(a, b, bm=64, bn=128, bk=64)
+    assert c.dtype == jnp.int32
+    expect = np.asarray(a, np.int64) @ np.asarray(b, np.int64)
+    np.testing.assert_array_equal(np.asarray(c, np.int64), expect)
+
+
+def test_tiled_matmul_rejects_mismatch(rng):
+    with pytest.raises(ValueError, match="contraction"):
+        tiled_matmul(jnp.zeros((4, 8)), jnp.zeros((9, 4)))
+
+
+def test_spatial_matmul_reference_workload(rng):
+    """The reference's AIE workload shape: 128x128xN GEMM on a spatial array
+    (benchmarks/README.md:33-38), here N=2560 on a 2x4 mesh."""
+    mesh = make_mesh_2d(2, 4)
+    a = rng.integers(-127, 128, size=(128, 128)).astype(np.int8)
+    b = rng.integers(-127, 128, size=(128, 2560)).astype(np.int8)
+    c = spatial_matmul(jnp.asarray(a), jnp.asarray(b), mesh)
+    assert c.dtype == jnp.int32
+    assert verify_matmul(a, b, np.asarray(c))
+
+
+def test_spatial_matmul_fp32_4x2(rng):
+    mesh = make_mesh_2d(4, 2)
+    a = rng.normal(size=(256, 64)).astype(np.float32)
+    b = rng.normal(size=(64, 128)).astype(np.float32)
+    c = spatial_matmul(jnp.asarray(a), jnp.asarray(b), mesh)
+    assert verify_matmul(a, b, np.asarray(c))
+
+
+def test_verify_matmul_catches_errors(rng):
+    a = rng.normal(size=(16, 8)).astype(np.float32)
+    b = rng.normal(size=(8, 16)).astype(np.float32)
+    c = a @ b
+    assert verify_matmul(a, b, c)
+    c_bad = c.copy()
+    c_bad[3, 7] += 1.0
+    assert not verify_matmul(a, b, c_bad)
