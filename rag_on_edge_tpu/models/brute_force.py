@@ -91,22 +91,23 @@ class BruteForceIndex:
         self.n, self.dim = base.shape
         self._device = device
 
+        # Index state is kept in a dict and passed to the jitted search as an
+        # ARGUMENT (never a closure): jit inlines captured arrays as HLO
+        # constants, which bloats every program with the whole database.
         put = functools.partial(jax.device_put, device=device)
         base_f32 = jnp.asarray(base, dtype=jnp.float32)
-        self._base_f32 = put(base_f32) if self.rescore else None
-        self._rescore_norms = (
-            put(distances.base_norms_sq(base_f32))
-            if self.rescore and metric == "l2"
-            else None
-        )
-        self._base = self._base_t = self._base_scale = self._base_norms = None
+        arrays: dict[str, jax.Array] = {}
+        if self.rescore:
+            arrays["base_f32"] = put(base_f32)
+            if metric == "l2":
+                arrays["rescore_norms"] = put(distances.base_norms_sq(base_f32))
         if dtype == "int8":
             qt = quantize.quantize_int8(base_f32)
-            self._base_scale = put(qt.scale)
+            arrays["base_scale"] = put(qt.scale)
             if engine == "pallas":
-                self._base_t = put(qt.values.T)
+                arrays["base_t"] = put(qt.values.T)
             else:
-                self._base = put(qt.values)
+                arrays["base"] = put(qt.values)
         elif engine == "pallas":
             # Fused kernel computes inner products only; L2 ranking folds in
             # via augmentation: q' = [q, 1], b' = [b, -‖b‖²/2] gives
@@ -116,86 +117,88 @@ class BruteForceIndex:
                 bt = jnp.concatenate(
                     [bt, -0.5 * distances.base_norms_sq(base_f32)[None, :]], axis=0
                 )
-            self._base_t = put(bt.astype(jnp.bfloat16) if dtype == "bf16" else bt)
+            arrays["base_t"] = put(bt.astype(jnp.bfloat16) if dtype == "bf16" else bt)
         else:
-            self._base = put(
+            arrays["base"] = put(
                 base_f32.astype(jnp.bfloat16) if dtype == "bf16" else base_f32
             )
-            self._base_norms = (
-                put(distances.base_norms_sq(base_f32)) if metric == "l2" else None
-            )
+            if metric == "l2":
+                arrays["base_norms"] = put(distances.base_norms_sq(base_f32))
+        self._arrays = arrays
         self._search_jit = jax.jit(self._search_impl, static_argnames=("k",))
         self._stream_jit = jax.jit(
-            lambda qq, k: jax.lax.map(functools.partial(self._search_impl, k=k), qq),
+            lambda arrays, qq, k: jax.lax.map(
+                lambda q: self._search_impl(arrays, q, k), qq
+            ),
             static_argnames=("k",),
         )
 
     # ------------------------------------------------------------------ impl
 
-    def _search_pallas(self, queries: jax.Array, k: int):
+    def _search_pallas(self, arrays, queries: jax.Array, k: int):
         if self.dtype == "int8":
             q = quantize.quantize_int8(queries, per_row=True)
-            vals_i32, ids = fused_topk_matmul(q.values, self._base_t, k)
-            vals = quantize.dequantize(vals_i32, q.scale, self._base_scale)
+            vals_i32, ids = fused_topk_matmul(q.values, arrays["base_t"], k)
+            vals = quantize.dequantize(vals_i32, q.scale, arrays["base_scale"])
             return vals, ids
         if self.metric == "l2":
             queries = jnp.concatenate(
                 [queries, jnp.ones((queries.shape[0], 1), queries.dtype)], axis=1
             )
         q = queries.astype(jnp.bfloat16) if self.dtype == "bf16" else queries
-        vals, ids = fused_topk_matmul(q, self._base_t, k)
+        vals, ids = fused_topk_matmul(q, arrays["base_t"], k)
         if self.metric == "l2":
             vals = 2.0 * vals  # back to the 2q·b - ‖b‖² convention
         return vals, ids
 
-    def _rescore_exact(self, queries: jax.Array, cand_ids: jax.Array, k: int):
+    def _rescore_exact(self, arrays, queries: jax.Array, cand_ids: jax.Array, k: int):
         """Recompute exact fp32 scores for the candidate set and re-select k.
         cand_ids: [B, k'] (k' ≥ k) from the quantized selection."""
-        cand = self._base_f32[cand_ids]  # [B, k', D]
+        cand = arrays["base_f32"][cand_ids]  # [B, k', D]
         scores = jnp.einsum(
             "bcd,bd->bc", cand, queries, preferred_element_type=jnp.float32
         )
         if self.metric == "l2":
-            scores = 2.0 * scores - self._rescore_norms[cand_ids]
+            scores = 2.0 * scores - arrays["rescore_norms"][cand_ids]
         vals, sel = jax.lax.top_k(scores, k)
         return vals, jnp.take_along_axis(cand_ids, sel, axis=1)
 
-    def _search_impl(self, queries: jax.Array, k: int):
+    def _search_impl(self, arrays, queries: jax.Array, k: int):
         """Device-side search: queries [B, D] f32 → (scores [B,k] f32, ids [B,k] i32)."""
         kq = min(2 * k, self.n) if self.rescore else k
         if self.engine == "pallas":
-            vals, ids = self._search_pallas(queries, kq)
+            vals, ids = self._search_pallas(arrays, queries, kq)
             if self.rescore:
-                vals, ids = self._rescore_exact(queries, ids, k)
+                vals, ids = self._rescore_exact(arrays, queries, ids, k)
             return vals.astype(jnp.float32), ids.astype(jnp.int32)
         sel = _SELECT_FNS[self.select]
         if self.dtype == "int8":
             q = quantize.quantize_int8(queries, per_row=True)
-            raw = distances.score_matrix_int8(q.values, self._base)
+            raw = distances.score_matrix_int8(q.values, arrays["base"])
             vals_i32, ids = sel(raw, kq)
             if self.rescore:
-                vals, ids = self._rescore_exact(queries, ids, k)
+                vals, ids = self._rescore_exact(arrays, queries, ids, k)
             else:
-                vals = quantize.dequantize(vals_i32, q.scale, self._base_scale)
+                vals = quantize.dequantize(vals_i32, q.scale, arrays["base_scale"])
             return vals, ids.astype(jnp.int32)
         compute_dtype = jnp.bfloat16 if self.dtype == "bf16" else None
         scores = distances.score_matrix(
             queries,
-            self._base,
+            arrays["base"],
             metric=self.metric,
-            base_norms=self._base_norms,
+            base_norms=arrays.get("base_norms"),
             compute_dtype=compute_dtype,
         )
         vals, ids = sel(scores, kq)
         if self.rescore:
-            vals, ids = self._rescore_exact(queries, ids, k)
+            vals, ids = self._rescore_exact(arrays, queries, ids, k)
         return vals, ids.astype(jnp.int32)
 
     # ------------------------------------------------------------------ API
 
     def search_device(self, queries: jax.Array, k: int):
         """On-device search; inputs/outputs stay device arrays (the hot path)."""
-        return self._search_jit(queries, k)
+        return self._search_jit(self._arrays, queries, k)
 
     def search_stream_device(self, query_stream: jax.Array, k: int):
         """Stream mode: one dispatch processes a stack of micro-batches
@@ -205,7 +208,7 @@ class BruteForceIndex:
         amortizing per-dispatch overhead (measured ~0.3 ms on this
         tunnelled v5e vs ~35 µs device time per batch-32 search).
         """
-        return self._stream_jit(query_stream, k)
+        return self._stream_jit(self._arrays, query_stream, k)
 
     def search(self, queries: np.ndarray, k: int, batch_size: int | None = None):
         """Host API: numpy queries [Q, D] → (ids [Q, k] i32, scores [Q, k] f32).

@@ -37,6 +37,7 @@ import numpy as np
 
 from rag_on_edge_tpu.models import kmeans as kmeans_mod
 from rag_on_edge_tpu.ops import distances, topk
+from rag_on_edge_tpu.ops import pallas_ivf
 
 __all__ = ["IVFIndex", "fine_scan", "invert_probes"]
 
@@ -87,6 +88,7 @@ def fine_scan(
     probe_chunk: int,
     metric: str,
     max_cluster_size: int,
+    compute_dtype=None,
 ):
     """Scan probed cluster slabs with a running on-device top-k.
 
@@ -112,8 +114,15 @@ def fine_scan(
         valid = arange_s[None, None, :] < sizes_c[..., None]
         rows = jnp.clip(rows, 0, n_rows - 1)
         cand = vectors[rows]  # [B, pc, S, D] slab gather
-        qc = q.astype(vectors.dtype)
-        scores = jnp.einsum("bpsd,bd->bps", cand, qc, preferred_element_type=jnp.float32)
+        qc = q
+        if compute_dtype is not None:
+            cand = cand.astype(compute_dtype)
+            qc = q.astype(compute_dtype)
+        prec = jax.lax.Precision.HIGHEST if compute_dtype is None else None
+        scores = jnp.einsum(
+            "bpsd,bd->bps", cand, qc,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
         if metric == "l2":
             scores = 2.0 * scores - vector_norms[rows]
         scores = jnp.where(valid, scores, _NEG_INF)
@@ -176,13 +185,25 @@ class IVFIndex:
         reorder_to_original: np.ndarray,
         metric: str = "ip",
         dtype: str = "fp32",
+        coarse_metric: str = "l2",
         config: dict | None = None,
     ):
         if metric not in ("ip", "l2"):
             raise ValueError(f"unknown metric {metric!r}")
+        if coarse_metric not in ("ip", "l2"):
+            raise ValueError(f"unknown coarse_metric {coarse_metric!r}")
         if dtype not in ("fp32", "bf16"):
             raise ValueError(f"unknown dtype {dtype!r} (fine scan supports fp32/bf16)")
         self.metric = metric
+        # Cluster probing ranks centroids by L2 by default, independent of
+        # the fine ranking metric: k-means partitions space into Voronoi
+        # (L2) cells, so L2-nearest centroids are the cells most likely to
+        # hold a query's neighbors.  Inner-product probing (the reference's
+        # choice, IVFIndex.cpp coarse stage) only works when vector norms
+        # are tightly concentrated (true-ish for real SIFT); on synthetic
+        # data it collapses recall at low nprobe/nlist fractions.  Set
+        # coarse_metric="ip" for strict reference behavior.
+        self.coarse_metric = coarse_metric
         self.dtype = dtype
         self.nlist = int(centroids.shape[0])
         self.n, self.dim = vectors_reordered.shape
@@ -197,6 +218,7 @@ class IVFIndex:
                 "dim": self.dim,
                 "reordered": True,
                 "metric": metric,
+                "coarse_metric": coarse_metric,
                 "dtype": dtype,
                 "cluster_size_min": int(sizes.min()),
                 "cluster_size_avg": float(sizes.mean()),
@@ -227,23 +249,29 @@ class IVFIndex:
             vec_padded[dst0 : dst0 + (src1 - src0)] = self._vectors_np[src0:src1]
             reorder_padded[dst0 : dst0 + (src1 - src0)] = self._reorder_np[src0:src1]
 
-        # Device-resident index state.
+        # Device-resident index state, passed to the jitted search fns as an
+        # ARGUMENT (a closure would inline the whole database into the HLO
+        # as a constant — megabytes-to-gigabytes of program).
         vec_dev = jnp.asarray(vec_padded)
-        self._centroids = jnp.asarray(self._centroids_np)
-        self._vectors = vec_dev.astype(jnp.bfloat16) if dtype == "bf16" else vec_dev
-        self._offsets = jnp.asarray(padded_offsets[:-1].astype(np.int32))
-        self._sizes = jnp.asarray(sizes)
-        self._reorder = jnp.asarray(reorder_padded)
-        self._centroid_norms = (
-            distances.base_norms_sq(self._centroids) if metric == "l2" else None
-        )
-        self._vector_norms = distances.base_norms_sq(vec_dev) if metric == "l2" else None
+        arrays: dict[str, jax.Array] = {
+            "centroids": jnp.asarray(self._centroids_np),
+            "vectors": vec_dev,  # fp32: the rescoring / query-major source
+            "offsets": jnp.asarray(padded_offsets[:-1].astype(np.int32)),
+            "sizes": jnp.asarray(sizes),
+            "reorder": jnp.asarray(reorder_padded),
+        }
+        if coarse_metric == "l2":
+            arrays["centroid_norms"] = distances.base_norms_sq(arrays["centroids"])
+        if metric == "l2":
+            arrays["vector_norms"] = distances.base_norms_sq(vec_dev)
+        self._arrays = arrays
 
         self._search_jit = jax.jit(
             self._search_impl, static_argnames=("k", "nprobe", "probe_chunk")
         )
         self._search_cm_jit = jax.jit(
-            self._search_cluster_major_impl, static_argnames=("k", "nprobe", "qcap")
+            self._search_cluster_major_impl,
+            static_argnames=("k", "nprobe", "qcap", "engine", "rescore"),
         )
 
     # ------------------------------------------------------------------ build
@@ -255,6 +283,7 @@ class IVFIndex:
         nlist: int | None = None,
         metric: str = "ip",
         dtype: str = "fp32",
+        coarse_metric: str = "l2",
         seed: int = 42,
         max_iter: int = 100,
     ) -> "IVFIndex":
@@ -279,12 +308,13 @@ class IVFIndex:
             order.astype(np.int32),
             metric=metric,
             dtype=dtype,
+            coarse_metric=coarse_metric,
             config={"seed": seed, "kmeans_max_iter": max_iter},
         )
 
     # ------------------------------------------------------------- search impl
 
-    def _search_impl(self, queries: jax.Array, k: int, nprobe: int, probe_chunk: int):
+    def _search_impl(self, arrays, queries: jax.Array, k: int, nprobe: int, probe_chunk: int):
         """Returns (scores [B,k] f32, ids [B,k] i32, n_candidates [B] i32)."""
         q = queries.astype(jnp.float32)
         nprobe = min(nprobe, self.nlist)
@@ -293,37 +323,67 @@ class IVFIndex:
         # centroid GEMM, IVFIndex.cpp:653-657) + top-nprobe (nth_element,
         # IVFIndex.cpp:711-712).
         coarse = distances.score_matrix(
-            q, self._centroids, metric=self.metric, base_norms=self._centroid_norms
+            q,
+            arrays["centroids"],
+            metric=self.coarse_metric,
+            base_norms=arrays.get("centroid_norms"),
         )
-        _, probes = jax.lax.top_k(coarse, nprobe)  # [B, P]
-        p_offs = self._offsets[probes]
-        p_sizes = self._sizes[probes]
+        _, probes = topk.small_topk(coarse, nprobe)  # [B, P]
+        p_offs = arrays["offsets"][probes]
+        p_sizes = arrays["sizes"][probes]
         n_candidates = jnp.sum(p_sizes, axis=1)
 
         # STAGE 2 — fine scan over cluster slabs with a running top-k
         # (reference NEON scan + heaps, IVFIndex.cpp:738-779).
         best_v, best_i = fine_scan(
             q,
-            self._vectors,
-            self._vector_norms,
+            arrays["vectors"],
+            arrays.get("vector_norms"),
             p_offs,
             p_sizes,
             k=k,
             probe_chunk=probe_chunk,
             metric=self.metric,
             max_cluster_size=self.max_cluster_size,
+            compute_dtype=jnp.bfloat16 if self.dtype == "bf16" else None,
         )
 
         # Map reordered rows back to original ids (IVFIndex.cpp:778).
-        ids = jnp.where(best_v > _NEG_INF, self._reorder[best_i], -1)
+        ids = jnp.where(best_v > _NEG_INF, arrays["reorder"][best_i], -1)
         return best_v, ids.astype(jnp.int32), n_candidates.astype(jnp.int32)
 
-    def _search_cluster_major_impl(self, queries: jax.Array, k: int, nprobe: int, qcap: int):
+    def _ensure_kernel_state(self) -> None:
+        """Lazily add the cluster-major kernel's arrays (transposed slabs,
+        blocked norms, block tables) to the index state."""
+        if "vectors_t" in self._arrays:
+            return
+        blk = self.PAD_BLOCK
+        vec_t = np.asarray(self._arrays["vectors"], dtype=np.float32).T.copy()
+        if self.metric == "l2":
+            # L2 via augmentation: b' = [b, -‖b‖²/2]; queries get a ones
+            # column; the kernel stays metric-free (scores are l2_score/2).
+            vec_t = np.concatenate(
+                [vec_t, -0.5 * np.sum(vec_t * vec_t, axis=0, keepdims=True)], axis=0
+            )
+        self._arrays["vectors_t"] = jnp.asarray(
+            vec_t.astype(np.float32 if self.dtype == "fp32" else jnp.bfloat16)
+        )
+        bc, bf, bl, rv = pallas_ivf.build_block_tables(
+            np.asarray(self._arrays["offsets"]), np.asarray(self._arrays["sizes"]), blk
+        )
+        self._arrays["block_cluster"] = jnp.asarray(bc)
+        self._arrays["block_first"] = jnp.asarray(bf)
+        self._arrays["block_last"] = jnp.asarray(bl)
+        self._arrays["rows_valid"] = jnp.asarray(rv)
+
+    def _search_cluster_major_impl(self, arrays, queries: jax.Array, k: int, nprobe: int, qcap: int, engine: str = "xla", rescore: bool = False):
         """Cluster-major search (see class docstring).
 
         Returns (scores [B,k] f32, ids [B,k] i32, n_candidates [B] i32,
-        spill i32).  Exact within the probed set when spill == 0.
+        spill i32).  Exact within the probed set when spill == 0 (and, for
+        quantized scans, when ``rescore`` re-ranks 2k candidates in fp32).
         """
+        kk = min(2 * k, self.n) if rescore else k
         q = queries.astype(jnp.float32)
         b = q.shape[0]
         nprobe = min(nprobe, self.nlist)
@@ -331,59 +391,112 @@ class IVFIndex:
 
         # STAGE 1 — coarse centroid scores + top-nprobe (as query-major).
         coarse = distances.score_matrix(
-            q, self._centroids, metric=self.metric, base_norms=self._centroid_norms
+            q,
+            arrays["centroids"],
+            metric=self.coarse_metric,
+            base_norms=arrays.get("centroid_norms"),
         )
-        _, probes = jax.lax.top_k(coarse, nprobe)  # [B, P]
-        n_candidates = jnp.sum(self._sizes[probes], axis=1)
+        _, probes = topk.small_topk(coarse, nprobe)  # [B, P]
+        n_candidates = jnp.sum(arrays["sizes"][probes], axis=1)
 
         # STAGE 2 — invert the probe map (MoE-style dispatch) and gather
         # each cluster's probing queries into a dense [nlist, qcap, D].
         cq, slot, spill = invert_probes(probes, self.nlist, qcap)
         qg = q[jnp.clip(cq, 0)]  # [nlist, qcap, D]
-        qg = jnp.where((cq >= 0)[..., None], qg, 0.0).astype(self._vectors.dtype)
+        qg = jnp.where((cq >= 0)[..., None], qg, 0.0).astype(arrays["vectors"].dtype)
 
-        # STAGE 3 — one pass over probed clusters: per cluster, one
-        # [qcap, D] x [D, S] GEMM against the (block-aligned) slab and a
-        # per-slot top-k.  lax.scan streams slabs; XLA double-buffers.
+        # STAGE 3 — score each cluster's slab against its routed queries.
+        if engine == "pallas":
+            qk = qg
+            if self.metric == "l2":
+                ones = jnp.where((cq >= 0)[..., None], 1.0, 0.0)
+                qk = jnp.concatenate([qg.astype(jnp.float32), ones], axis=-1)
+            qk = qk.astype(arrays["vectors_t"].dtype)
+            pv, pr = pallas_ivf.cluster_major_scan(
+                qk,
+                arrays["vectors_t"],
+                arrays["block_cluster"],
+                arrays["block_first"],
+                arrays["block_last"],
+                arrays["rows_valid"],
+                k=kk,
+                blk=self.PAD_BLOCK,
+            )
+            if self.metric == "l2":
+                pv = 2.0 * pv  # augmented scores are l2_score/2
+            return self._cm_finish(
+                arrays, queries, probes, slot, pv, pr, k, kk, rescore,
+                n_candidates, spill,
+            )
+
+        # XLA fallback: lax.scan over clusters with max-size dynamic slices.
         arange_s = jnp.arange(smax, dtype=jnp.int32)
+
+        vectors = arrays["vectors"]
 
         def per_cluster(_, xs):
             boff, size, qg_c, cq_c = xs
             slab = jax.lax.dynamic_slice(
-                self._vectors, (boff, jnp.int32(0)), (smax, self.dim)
+                vectors, (boff, jnp.int32(0)), (smax, self.dim)
             )  # [S, D]
             scores = jax.lax.dot_general(
-                qg_c, slab, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                qg_c, slab, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST
+                if slab.dtype == jnp.float32 else None,
             )  # [qcap, S]
             rows = boff + arange_s
             if self.metric == "l2":
-                norms = jax.lax.dynamic_slice(self._vector_norms, (boff,), (smax,))
+                norms = jax.lax.dynamic_slice(arrays["vector_norms"], (boff,), (smax,))
                 scores = 2.0 * scores - norms[None, :]
             valid = (arange_s < size)[None, :] & (cq_c >= 0)[:, None]
             scores = jnp.where(valid, scores, _NEG_INF)
-            kk = min(k, smax)
-            v, idx = topk.iterative_topk(scores, kk)
+            kc = min(kk, smax)
+            v, idx = topk.iterative_topk(scores, kc)
             r = rows[idx]
-            if kk < k:
-                v = jnp.pad(v, ((0, 0), (0, k - kk)), constant_values=_NEG_INF)
-                r = jnp.pad(r, ((0, 0), (0, k - kk)))
+            if kc < kk:
+                v = jnp.pad(v, ((0, 0), (0, kk - kc)), constant_values=_NEG_INF)
+                r = jnp.pad(r, ((0, 0), (0, kk - kc)))
             return None, (v, r)
 
         _, (pv, pr) = jax.lax.scan(
             per_cluster,
             None,
-            (self._offsets, self._sizes, qg, cq),
-        )  # pv/pr: [nlist, qcap, k]
+            (arrays["offsets"], arrays["sizes"], qg, cq),
+        )  # pv/pr: [nlist, qcap, kk]
+        return self._cm_finish(
+            arrays, queries, probes, slot, pv, pr, k, kk, rescore,
+            n_candidates, spill,
+        )
 
-        # STAGE 4 — per query, gather its (cluster, slot) partials and
-        # re-select k (the join step).
+    def _cm_finish(self, arrays, queries, probes, slot, pv, pr, k, kk, rescore,
+                   n_candidates, spill):
+        """STAGE 4 — per query, gather its (cluster, slot) partials,
+        re-select (optionally fp32-rescoring the kk candidates), and map
+        padded rows back to original ids."""
+        b = probes.shape[0]
         ok = slot >= 0
         sl = jnp.clip(slot, 0)
         gv = jnp.where(ok[..., None], pv[probes, sl], _NEG_INF).reshape(b, -1)
         gr = pr[probes, sl].reshape(b, -1)
-        best_v, sel = jax.lax.top_k(gv, k)
+        best_v, sel = topk.small_topk(gv, kk)
         best_r = jnp.take_along_axis(gr, sel, axis=1)
-        ids = jnp.where(best_v > _NEG_INF, self._reorder[best_r], -1)
+        if rescore:
+            # Exact fp32 re-ranking of the kk candidates (tiny gather).
+            cand = arrays["vectors"][best_r]  # [B, kk, D]
+            scores = jnp.einsum(
+                "bcd,bd->bc", cand, queries.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            if self.metric == "l2":
+                scores = 2.0 * scores - arrays["vector_norms"][best_r]
+            scores = jnp.where(best_v > _NEG_INF, scores, _NEG_INF)
+            best_v, sel2 = topk.small_topk(scores, k)
+            best_r = jnp.take_along_axis(best_r, sel2, axis=1)
+        else:
+            best_v, best_r = best_v[:, :k], best_r[:, :k]
+        ids = jnp.where(best_v > _NEG_INF, arrays["reorder"][best_r], -1)
         return best_v, ids.astype(jnp.int32), n_candidates.astype(jnp.int32), spill
 
     # ------------------------------------------------------------------ API
@@ -416,23 +529,34 @@ class IVFIndex:
         probe_chunk: int | None = None,
         mode: str = "auto",
         qcap: int | None = None,
+        engine: str = "pallas",
+        rescore: bool | None = None,
     ):
         """On-device search → (scores [B,k], ids [B,k], n_candidates [B]).
 
         mode: "auto" | "query" | "cluster" fine-scan strategy.
+        engine: "pallas" | "xla" stage-3 implementation for cluster mode.
+        rescore: fp32 re-ranking of 2k candidates.  Defaults on for the
+            pallas cluster engine (its bin-max selection is approximate)
+            and for bf16 scans.
         """
         b = queries.shape[0]
         if mode == "auto":
             mode = self._pick_mode(b, nprobe)
+        if rescore is None:
+            rescore = self.dtype == "bf16" or (mode == "cluster" and engine == "pallas")
         if mode == "cluster":
+            if engine == "pallas":
+                self._ensure_kernel_state()
             vals, ids, ncand, _spill = self._search_cm_jit(
-                queries, k, nprobe, qcap or self._auto_qcap(b, nprobe)
+                self._arrays, queries, k, nprobe,
+                qcap or self._auto_qcap(b, nprobe), engine, rescore
             )
             return vals, ids, ncand
         if mode != "query":
             raise ValueError(f"unknown mode {mode!r}")
         pc = probe_chunk or self._auto_probe_chunk(b)
-        return self._search_jit(queries, k, nprobe, pc)
+        return self._search_jit(self._arrays, queries, k, nprobe, pc)
 
     def search(
         self,
@@ -501,5 +625,6 @@ class IVFIndex:
             np.load(os.path.join(index_dir, cls._FILES["reorder"])),
             metric=config.get("metric", "ip"),
             dtype=config.get("dtype", "fp32"),
+            coarse_metric=config.get("coarse_metric", "l2"),
             config=config,
         )

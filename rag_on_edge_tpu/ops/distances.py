@@ -46,11 +46,16 @@ def score_matrix(
     if compute_dtype is not None:
         q = q.astype(compute_dtype)
         b = b.astype(compute_dtype)
+    # fp32 inputs get true-f32 MXU passes: the TPU default lowers f32
+    # matmuls to one bf16 pass (~0.4% error), which flips near-tie
+    # rankings on large-magnitude L2 scores.
+    precision = None if compute_dtype is not None else jax.lax.Precision.HIGHEST
     dots = jax.lax.dot_general(
         q,
         b,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
     if metric == "ip":
         return dots

@@ -87,6 +87,8 @@ def _kernel(q_ref, base_ref, out_vals_ref, out_ids_ref, sv_ref, si_ref, *, k, n,
         base_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=acc_dtype,
+        precision=jax.lax.Precision.HIGHEST
+        if q_ref.dtype == jnp.float32 else None,
     )
     b = scores.shape[0]
     local_cols = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)

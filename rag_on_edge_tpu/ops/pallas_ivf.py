@@ -1,0 +1,223 @@
+"""Cluster-major IVF fine-scan kernel.
+
+One Pallas kernel performs the entire IVF fine stage for a batch: the grid
+walks every block of the block-padded, cluster-contiguous database
+(``IVFIndex`` device layout) in storage order; for each block it loads the
+[D, BLK] slab tile and the *routed query set* of the block's cluster
+(scalar-prefetch drives the BlockSpec index maps — the TPU version of the
+reference's indirect cluster addressing, ``IVFIndex.cpp:604-620``), scores
+them on the MXU, and maintains a per-slot running top-k in VMEM scratch
+that is flushed to the per-cluster output when the cluster's last block
+retires.
+
+L2 ranking is folded in via augmentation (q' = [q, 1], b' = [b, -‖b‖²/2]),
+so the kernel itself is metric-free.  Rows of empty routing slots produce
+garbage per-slot results, but the stage-4 join only gathers (cluster, slot)
+pairs recorded by the probe inversion, so they are never read.
+
+Compared with the XLA ``lax.scan`` fallback (per-cluster max-size dynamic
+slices): no max-cluster padding is ever read (blocks are exact), the slab
+tile streams through the double-buffered grid pipeline, and selection is
+gated by a running-threshold skip.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rag_on_edge_tpu.ops.pallas_bruteforce import _extract_topk
+
+__all__ = ["cluster_major_scan", "build_block_tables"]
+
+_NEG_INF = float("-inf")
+
+
+def build_block_tables(offsets: np.ndarray, sizes: np.ndarray, blk: int):
+    """Static per-index tables for the block walk.
+
+    offsets: [nlist] padded row starts (multiples of blk); sizes: [nlist]
+    actual rows.  Returns (block_cluster [nblocks], block_is_first,
+    block_is_last [nblocks] int32, rows_valid [nblocks] — valid rows in
+    each block, 0..blk).
+    """
+    nlist = len(sizes)
+    n_padded = int(offsets[-1] + -(-max(int(sizes[-1]), 1) // blk) * blk) if nlist else 0
+    nblocks = n_padded // blk
+    block_cluster = np.zeros(nblocks, np.int32)
+    first = np.zeros(nblocks, np.int32)
+    last = np.zeros(nblocks, np.int32)
+    rows_valid = np.zeros(nblocks, np.int32)
+    for c in range(nlist):
+        b0 = int(offsets[c]) // blk
+        nb = max(1, -(-int(sizes[c]) // blk))
+        block_cluster[b0 : b0 + nb] = c
+        first[b0] = 1
+        last[b0 + nb - 1] = 1
+        for j in range(nb):
+            rows_valid[b0 + j] = min(blk, max(0, int(sizes[c]) - j * blk))
+    return block_cluster, first, last, rows_valid
+
+
+def _kernel(
+    # scalar prefetch
+    block_cluster, block_first, block_last, rows_valid,
+    # inputs
+    q_ref, vec_ref,
+    # outputs
+    out_v_ref, out_i_ref,
+    # scratch
+    sv_ref, si_ref, sc_ref,
+    *, k, blk, nbins,
+):
+    j = pl.program_id(0)
+    fill = jnp.float32(_NEG_INF)
+
+    @pl.when(block_first[j] == 1)
+    def _init():
+        sv_ref[:] = jnp.full_like(sv_ref, fill)
+        si_ref[:] = jnp.zeros_like(si_ref)
+
+    qg = q_ref[0]  # [qcap, D']
+    scores = jax.lax.dot_general(
+        qg, vec_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST if qg.dtype == jnp.float32 else None,
+    )  # [qcap, BLK]
+    qcap = scores.shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (qcap, blk), 1)
+    scores = jnp.where(cols < rows_valid[j], scores, fill)
+    # Stage scores in scratch: Mosaic cannot lane-slice computed values,
+    # but slicing a VMEM ref is native — the binning below reads chunks.
+    sc_ref[:] = scores
+
+    improves = jnp.any(jnp.max(scores, axis=1) > sv_ref[:, k - 1])
+
+    @pl.when(improves)
+    def _select():
+        # Bin-max partial reduction (the TPU-KNN PartialReduce idea,
+        # arXiv:2206.14286): strided bins keep the minor axis at `nbins`
+        # lanes.  Per (slot, bin) only the best of blk/nbins members
+        # survives; lost near-duplicates are recovered statistically by
+        # the k' > k candidate pool + fp32 rescore downstream.  Two
+        # passes instead of k max-and-mask passes over the full tile.
+        # Mosaic has no in-register 2D→3D reshape (and cannot lane-slice
+        # computed values); bins are lane-aligned chunk slices of the
+        # scratch ref: chunk i = cols [i*nbins, (i+1)*nbins), bin b =
+        # elementwise position b across chunks.  Row-id chunks are
+        # computed as iota + offset, never sliced.
+        w = blk // nbins
+        big = jnp.int32(2**30)
+        base_iota = jax.lax.broadcasted_iota(jnp.int32, (qcap, nbins), 1)
+        s_chunks = [sc_ref[:, i * nbins : (i + 1) * nbins] for i in range(w)]
+        r_chunks = [base_iota + (j * blk + i * nbins) for i in range(w)]
+
+        def bin_top(chunks):
+            bmax = chunks[0]
+            for c in chunks[1:]:
+                bmax = jnp.maximum(bmax, c)
+            bid = jnp.full((qcap, nbins), big, jnp.int32)
+            for sc, rc in zip(chunks, r_chunks):
+                bid = jnp.minimum(bid, jnp.where(sc == bmax, rc, big))
+            return bmax, bid
+
+        bmax1, bid1 = bin_top(s_chunks)
+        # Second-best per bin: losing a candidate now needs a 3-way bin
+        # collision among the block's top scorers.
+        s_masked = [
+            jnp.where(rc == bid1, fill, sc) for sc, rc in zip(s_chunks, r_chunks)
+        ]
+        bmax2, bid2 = bin_top(s_masked)
+        # Merge bins into the running top-k (narrow: k + 2*nbins wide).
+        cand_v = jnp.concatenate([sv_ref[:], bmax1, bmax2], axis=1)
+        cand_i = jnp.concatenate([si_ref[:], bid1, bid2], axis=1)
+        mv, mi = _extract_topk(cand_v, cand_i, k, fill)
+        sv_ref[:] = mv
+        si_ref[:] = mi
+
+    @pl.when(block_last[j] == 1)
+    def _emit():
+        out_v_ref[0] = sv_ref[:]
+        out_i_ref[0] = si_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "blk", "nbins", "interpret"))
+def cluster_major_scan(
+    qg: jax.Array,
+    vectors_t: jax.Array,
+    block_cluster: jax.Array,
+    block_first: jax.Array,
+    block_last: jax.Array,
+    rows_valid: jax.Array,
+    k: int,
+    blk: int = 512,
+    nbins: int = 128,
+    interpret: bool | None = None,
+):
+    """Inner-product fine-scan of every cluster against its routed queries.
+
+    qg:        [nlist, qcap, D'] routed queries (zeros for empty slots;
+               D' may include an L2 augmentation column).
+    vectors_t: [D', Npad] transposed block-padded database.
+    block_*:   tables from :func:`build_block_tables`.
+    Returns (pv [nlist, qcap, k] f32, pr [nlist, qcap, k] i32 — global row
+    ids into the padded layout).  Slots not recorded by the probe
+    inversion carry garbage; the join must not read them.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if blk % nbins:
+        raise ValueError(f"blk={blk} must be a multiple of nbins={nbins}")
+    nlist, qcap, d = qg.shape
+    nblocks = vectors_t.shape[1] // blk
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, qcap, d), lambda j, bc, bf, bl, rv: (bc[j], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (d, blk), lambda j, bc, bf, bl, rv: (0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, qcap, k), lambda j, bc, bf, bl, rv: (bc[j], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, qcap, k), lambda j, bc, bf, bl, rv: (bc[j], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((qcap, k), jnp.float32),
+            pltpu.VMEM((qcap, k), jnp.int32),
+            pltpu.VMEM((qcap, blk), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_kernel, k=k, blk=blk, nbins=nbins)
+    pv, pr = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nlist, qcap, k), jnp.float32),
+            jax.ShapeDtypeStruct((nlist, qcap, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nblocks * blk * d * qcap,
+            bytes_accessed=nblocks * blk * d * vectors_t.dtype.itemsize
+            + nlist * qcap * d,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(block_cluster, block_first, block_last, rows_valid, qg, vectors_t)
+    return pv, pr

@@ -23,7 +23,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["topk", "two_stage_topk", "iterative_topk", "approx_topk", "merge_topk"]
+__all__ = ["topk", "two_stage_topk", "iterative_topk", "small_topk", "approx_topk", "merge_topk"]
 
 
 def topk(scores: jax.Array, k: int, ids: jax.Array | None = None):
@@ -97,6 +97,12 @@ def iterative_topk(scores: jax.Array, k: int):
         vals = jnp.pad(vals, pad, constant_values=fill)
         ids = jnp.pad(ids, pad)
     return vals, ids
+
+
+def small_topk(scores: jax.Array, k: int):
+    """Exact top-k picking the cheap algorithm: iterative argmax passes for
+    small k (lax.top_k lowers to a full sort on TPU), sort otherwise."""
+    return iterative_topk(scores, k) if k <= 32 else topk(scores, k)
 
 
 def approx_topk(scores: jax.Array, k: int, recall_target: float = 0.95):

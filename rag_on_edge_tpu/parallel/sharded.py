@@ -139,23 +139,25 @@ class ShardedBruteForceIndex:
             P(),
         )
 
-        def fn(q, k):
+        def fn(q, base, norms, scale, k):
+            # Index arrays travel as jit arguments: closures would inline
+            # the sharded database into the HLO as a constant.
             body = functools.partial(shard_body, k=k)
-            norms = self._base_norms if self._base_norms is not None else jnp.zeros(())
-            scale = self._base_scale if self._base_scale is not None else jnp.zeros(())
             return jax.shard_map(
                 body,
                 mesh=self.mesh,
                 in_specs=in_specs,
                 out_specs=(P(None, None), P(None, None)),
                 check_vma=False,
-            )(q, self._base, norms, scale)
+            )(q, base, norms, scale)
 
         return fn
 
     def search_device(self, queries: jax.Array, k: int):
         """On-device sharded search → (vals [B,k] f32, ids [B,k] i32)."""
-        return self._search_jit(queries, k)
+        norms = self._base_norms if self._base_norms is not None else jnp.zeros(())
+        scale = self._base_scale if self._base_scale is not None else jnp.zeros(())
+        return self._search_jit(queries, self._base, norms, scale, k)
 
     def search(self, queries: np.ndarray, k: int, batch_size: int | None = None):
         """Host API → (ids [Q,k] i32, scores [Q,k] f32)."""
@@ -209,6 +211,7 @@ class ShardedIVFIndex:
         self.axis = mesh.axis_names[0]
         self.n_shards = mesh.devices.size
         self.metric = index.metric
+        self.coarse_metric = index.coarse_metric
         self.dtype = index.dtype
         self.nlist = index.nlist
         self.n, self.dim = index.n, index.dim
@@ -243,7 +246,7 @@ class ShardedIVFIndex:
         self._sizes_local = jax.device_put(jnp.asarray(sizes_local), sh(self.axis, None))
         self._centroids = jnp.asarray(index._centroids_np)
         self._centroid_norms = (
-            distances.base_norms_sq(self._centroids) if self.metric == "l2" else None
+            distances.base_norms_sq(self._centroids) if self.coarse_metric == "l2" else None
         )
         if self.metric == "l2":
             norms = np.sum(vecs.astype(np.float32) ** 2, axis=2)
@@ -258,6 +261,7 @@ class ShardedIVFIndex:
     def _make_sharded_fn(self):
         axis = self.axis
         metric = self.metric
+        coarse_metric = self.coarse_metric
         smax = self.max_cluster_size
         nlist = self.nlist
 
@@ -272,7 +276,8 @@ class ShardedIVFIndex:
             # STAGE 1 (replicated — the centroid GEMM is tiny): coarse scores
             # + top-nprobe; identical on every shard.
             coarse = distances.score_matrix(
-                q, cents, metric=metric, base_norms=c_norms if metric == "l2" else None
+                q, cents, metric=coarse_metric,
+                base_norms=c_norms if coarse_metric == "l2" else None,
             )
             _, probes = jax.lax.top_k(coarse, min(nprobe, nlist))
             p_offs = offs[probes]
@@ -291,7 +296,7 @@ class ShardedIVFIndex:
         in_specs = (
             P(None, None),  # queries replicated
             P(None, None),  # centroids replicated
-            P(None) if self.metric == "l2" else P(),
+            P(None) if self.coarse_metric == "l2" else P(),
             P(axis, None, None),
             P(axis, None) if self.metric == "l2" else P(),
             P(axis, None),
@@ -299,20 +304,18 @@ class ShardedIVFIndex:
             P(axis, None),
         )
 
-        def fn(q, k, nprobe, probe_chunk):
+        def fn(q, cents, c_norms, vecs, v_norms, offs, szs, reorder, k, nprobe, probe_chunk):
+            # Index arrays travel as jit arguments (no constant inlining).
             body = functools.partial(
                 shard_body, k=k, nprobe=nprobe, probe_chunk=probe_chunk
             )
-            c_norms = self._centroid_norms if self.metric == "l2" else jnp.zeros(())
-            v_norms = self._vector_norms if self.metric == "l2" else jnp.zeros(())
             return jax.shard_map(
                 body,
                 mesh=self.mesh,
                 in_specs=in_specs,
                 out_specs=(P(None, None), P(None, None), P(None)),
                 check_vma=False,
-            )(q, self._centroids, c_norms, self._vectors, v_norms,
-              self._offs_local, self._sizes_local, self._local_reorder)
+            )(q, cents, c_norms, vecs, v_norms, offs, szs, reorder)
 
         return fn
 
@@ -324,7 +327,13 @@ class ShardedIVFIndex:
 
     def search_device(self, queries, k: int, nprobe: int, probe_chunk: int | None = None):
         pc = probe_chunk or self._auto_probe_chunk(queries.shape[0])
-        return self._search_jit(queries, k, nprobe, pc)
+        c_norms = self._centroid_norms if self.coarse_metric == "l2" else jnp.zeros(())
+        v_norms = self._vector_norms if self.metric == "l2" else jnp.zeros(())
+        return self._search_jit(
+            queries, self._centroids, c_norms, self._vectors, v_norms,
+            self._offs_local, self._sizes_local, self._local_reorder,
+            k, nprobe, pc,
+        )
 
     def search(self, queries: np.ndarray, k: int, nprobe: int = 16, batch_size: int | None = None):
         """Host API → (ids [Q,k] i32, scores [Q,k] f32, avg_candidates float)."""

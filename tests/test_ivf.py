@@ -62,7 +62,7 @@ def test_l2_metric(small_data):
     base, queries = small_data
     idx = IVFIndex.build(base, nlist=16, metric="l2", seed=42, max_iter=20)
     gt = ground_truth(base, queries, 10, metric="l2", backend="numpy")
-    ids, _, _ = idx.search(queries, k=10, nprobe=16)
+    ids, _, _ = idx.search(queries, k=10, nprobe=16, mode="query")  # exact path
     assert recall_at_k(ids, gt, 10) >= 0.999
 
 

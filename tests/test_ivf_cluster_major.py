@@ -41,17 +41,24 @@ def test_cluster_major_matches_query_major(small_data, ivf):
     q = jnp.asarray(queries)
     for nprobe in (4, 16):
         v_q, i_q, c_q = ivf.search_device(q, k=10, nprobe=nprobe, mode="query")
-        v_c, i_c, c_c = ivf.search_device(q, k=10, nprobe=nprobe, mode="cluster", qcap=q.shape[0])
+        # XLA cluster engine is exact — must match query-major bit-for-bit.
+        v_c, i_c, c_c = ivf.search_device(q, k=10, nprobe=nprobe, mode="cluster",
+                                          qcap=q.shape[0], engine="xla")
         np.testing.assert_allclose(np.asarray(v_q), np.asarray(v_c), rtol=1e-5)
         np.testing.assert_array_equal(np.asarray(c_q), np.asarray(c_c))
         assert recall_at_k(np.asarray(i_c), np.asarray(i_q), 10) >= 0.999
+        # Pallas engine (binned + rescore) tracks it in recall.
+        _, i_p, c_p = ivf.search_device(q, k=10, nprobe=nprobe, mode="cluster",
+                                        qcap=q.shape[0], engine="pallas", rescore=True)
+        np.testing.assert_array_equal(np.asarray(c_q), np.asarray(c_p))
+        assert recall_at_k(np.asarray(i_p), np.asarray(i_q), 10) >= 0.95
 
 
 def test_cluster_major_full_probe_exact(small_data, ivf):
     base, queries = small_data
     gt = ground_truth(base, queries, 10, metric="ip", backend="numpy")
     ids, _, _ = ivf.search(queries, k=10, nprobe=16, mode="cluster")
-    assert recall_at_k(ids, gt, 10) >= 0.999
+    assert recall_at_k(ids, gt, 10) >= 0.99  # pallas engine: binned + rescored
 
 
 def test_cluster_major_l2(small_data):
@@ -59,7 +66,7 @@ def test_cluster_major_l2(small_data):
     idx = IVFIndex.build(base, nlist=16, metric="l2", seed=42, max_iter=10)
     gt = ground_truth(base, queries, 10, metric="l2", backend="numpy")
     ids, _, _ = idx.search(queries, k=10, nprobe=16, mode="cluster")
-    assert recall_at_k(ids, gt, 10) >= 0.999
+    assert recall_at_k(ids, gt, 10) >= 0.99  # pallas engine: binned + rescored
 
 
 def test_auto_mode_picks_cluster_for_big_batches(ivf):
@@ -69,11 +76,11 @@ def test_auto_mode_picks_cluster_for_big_batches(ivf):
 
 def test_padded_layout_invariants(small_data, ivf):
     base, _ = small_data
-    offs = np.asarray(ivf._offsets)
-    sizes = np.asarray(ivf._sizes)
+    offs = np.asarray(ivf._arrays["offsets"])
+    sizes = np.asarray(ivf._arrays["sizes"])
     assert (offs % ivf.PAD_BLOCK == 0).all()
-    reorder = np.asarray(ivf._reorder)
-    vecs = np.asarray(ivf._vectors)
+    reorder = np.asarray(ivf._arrays["reorder"])
+    vecs = np.asarray(ivf._arrays["vectors"])
     # padded rows have reorder -1 and zero vectors; real rows match base
     for c in range(ivf.nlist):
         o, s = offs[c], sizes[c]
@@ -82,3 +89,21 @@ def test_padded_layout_invariants(small_data, ivf):
         pad_end = o + ((s + ivf.PAD_BLOCK - 1) // ivf.PAD_BLOCK) * ivf.PAD_BLOCK
         assert (reorder[o + s : pad_end] == -1).all()
         assert (vecs[o + s : pad_end] == 0).all()
+
+
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+def test_pallas_cluster_kernel_matches_xla(small_data, metric):
+    """The kernel's bin-max selection is approximate within a block; with
+    the 2k candidate pool + rescore it must track the exact XLA engine."""
+    import jax.numpy as jnp
+
+    base, queries = small_data
+    idx = IVFIndex.build(base, nlist=16, metric=metric, seed=42, max_iter=10)
+    q = jnp.asarray(queries)
+    for nprobe in (4, 16):
+        v_x, i_x, c_x = idx.search_device(q, k=10, nprobe=nprobe, mode="cluster",
+                                          qcap=q.shape[0], engine="xla", rescore=True)
+        v_p, i_p, c_p = idx.search_device(q, k=10, nprobe=nprobe, mode="cluster",
+                                          qcap=q.shape[0], engine="pallas", rescore=True)
+        np.testing.assert_array_equal(np.asarray(c_x), np.asarray(c_p))
+        assert recall_at_k(np.asarray(i_p), np.asarray(i_x), 10) >= 0.97
