@@ -25,25 +25,24 @@ def _stream_qps(micro_batches: int = 16, batch: int = 32, k: int = 5) -> float:
     from rag_on_edge_tpu.models.brute_force import BruteForceIndex
     from rag_on_edge_tpu.utils.datasets import load_dataset
 
+    from rag_on_edge_tpu.harness.timing import unique_variants
+
     ds = load_dataset("siftsmall", gt_k=k)
     index = BruteForceIndex(ds.base, dtype="int8")
     rng = np.random.default_rng(0)
-    streams = [
-        jnp.asarray(
-            rng.permuted(
-                np.resize(ds.queries, (micro_batches * batch, ds.queries.shape[1])), axis=0
-            ).reshape(micro_batches, batch, -1)
-        )
-        for _ in range(3)
-    ]
+    base_stream = jnp.asarray(
+        rng.permuted(
+            np.resize(ds.queries, (micro_batches * batch, ds.queries.shape[1])), axis=0
+        ).reshape(micro_batches, batch, -1)
+    )
+    streams = unique_variants([base_stream], 33)
     jax.block_until_ready(index.search_stream_device(streams[0], k))
-    iters = 50
     t0 = time.perf_counter()
     out = None
-    for i in range(iters):
-        out = index.search_stream_device(streams[i % len(streams)], k)
+    for s in streams[1:]:
+        out = index.search_stream_device(s, k)
     jax.block_until_ready(out)
-    return micro_batches * batch * iters / (time.perf_counter() - t0)
+    return micro_batches * batch * (len(streams) - 1) / (time.perf_counter() - t0)
 
 
 def main() -> None:

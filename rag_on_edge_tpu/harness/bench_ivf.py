@@ -42,7 +42,8 @@ def build_or_load_index(
     cache = os.path.join(cache_root, ds.name, f"ivf_nlist{nlist}_{metric}_{dtype}_seed{seed}")
     if os.path.exists(os.path.join(cache, "ivf_config.json")):
         return IVFIndex.load(cache)
-    index = IVFIndex.build(ds.base, nlist=nlist, metric=metric, dtype=dtype, seed=seed)
+    index = IVFIndex.build(ds.base, nlist=nlist, metric=metric, dtype=dtype, seed=seed,
+                           max_iter=25 if ds.base.shape[0] > 200_000 else 100)
     index.save(cache)
     return index
 
@@ -55,24 +56,32 @@ def run(
     batch: int = 32,
     dtype: str = "fp32",
     metric: str = "ip",
+    mode: str = "auto",
     repeats: int = 10,
     outdir: str | None = None,
     quiet: bool = False,
+    max_queries: int | None = None,
 ) -> list[dict]:
     ds = load_dataset(dataset, gt_k=max(k, 10))
+    if max_queries:
+        ds.queries = ds.queries[:max_queries]
+        ds.ground_truth_ip = ds.ground_truth_ip[:max_queries]
+        ds.ground_truth_l2 = ds.ground_truth_l2[:max_queries]
     index = build_or_load_index(ds, nlist, metric, dtype)
     gt = ds.gt(metric)
     n = ds.base.shape[0]
 
     results = []
     for nprobe in nprobes:
-        index.compile(batch, k, nprobe)
-        search = lambda q: index.search_device(q, k, nprobe)  # noqa: E731
+        index.compile(batch, k, nprobe, mode=mode)
+        search = lambda q: index.search_device(q, k, nprobe, mode=mode)  # noqa: E731
         batches = _device_batches(ds.queries, batch)
         lat = timing.measure_latency(search, batches)
         qps = timing.measure_throughput(search, batches, repeats=repeats)
 
-        ids, scores, avg_cand = index.search(ds.queries, k=k, nprobe=nprobe, batch_size=batch)
+        ids, scores, avg_cand = index.search(
+            ds.queries, k=k, nprobe=nprobe, batch_size=batch, mode=mode
+        )
         recall = metrics.recall_at_k(ids, gt, k) if gt is not None else float("nan")
         reduction = n / avg_cand if avg_cand else float("inf")
         row = {
@@ -146,6 +155,8 @@ def main(argv=None) -> None:
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--dtype", default="fp32", choices=["fp32", "bf16"])
     p.add_argument("--metric", default="ip", choices=["ip", "l2"])
+    p.add_argument("--mode", default="auto", choices=["auto", "query", "cluster"])
+    p.add_argument("--max-queries", type=int, default=None)
     p.add_argument("--repeats", type=int, default=10)
     p.add_argument("--outdir", default="results")
     p.add_argument("--json", action="store_true")
@@ -153,7 +164,8 @@ def main(argv=None) -> None:
     rows = run(
         dataset=args.dataset, nlist=args.nlist, nprobes=tuple(args.nprobe),
         k=args.k, batch=args.batch, dtype=args.dtype, metric=args.metric,
-        repeats=args.repeats, outdir=args.outdir, quiet=args.json,
+        mode=args.mode, repeats=args.repeats, outdir=args.outdir,
+        quiet=args.json, max_queries=args.max_queries,
     )
     if args.json:
         for r in rows:

@@ -565,6 +565,7 @@ class IVFIndex:
         nprobe: int = 16,
         batch_size: int | None = None,
         mode: str = "auto",
+        engine: str = "pallas",
     ):
         """Host API → (ids [Q,k] i32, scores [Q,k] f32, avg_candidates float)."""
         queries = np.asarray(queries, dtype=np.float32)
@@ -578,16 +579,19 @@ class IVFIndex:
             pad = bs - chunk.shape[0]
             if pad:
                 chunk = np.pad(chunk, ((0, pad), (0, 0)))
-            vals, ids, ncand = self.search_device(jnp.asarray(chunk), k, nprobe, mode=mode)
+            vals, ids, ncand = self.search_device(
+                jnp.asarray(chunk), k, nprobe, mode=mode, engine=engine
+            )
             got = bs - pad
             ids_out[start : start + got] = np.asarray(ids)[:got]
             scores_out[start : start + got] = np.asarray(vals)[:got]
             total_cand += int(np.asarray(ncand)[:got].sum())
         return ids_out, scores_out, total_cand / nq
 
-    def compile(self, batch_size: int, k: int, nprobe: int, mode: str = "auto") -> None:
+    def compile(self, batch_size: int, k: int, nprobe: int, mode: str = "auto",
+                engine: str = "pallas") -> None:
         dummy = jnp.zeros((batch_size, self.dim), dtype=jnp.float32)
-        jax.block_until_ready(self.search_device(dummy, k, nprobe, mode=mode))
+        jax.block_until_ready(self.search_device(dummy, k, nprobe, mode=mode, engine=engine))
 
     # ------------------------------------------------------------ persistence
 
