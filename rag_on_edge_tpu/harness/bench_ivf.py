@@ -18,6 +18,9 @@ import argparse
 import json
 import os
 
+import time
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -67,17 +70,47 @@ def run(
         ds.queries = ds.queries[:max_queries]
         ds.ground_truth_ip = ds.ground_truth_ip[:max_queries]
         ds.ground_truth_l2 = ds.ground_truth_l2[:max_queries]
+    t0 = time.perf_counter()
     index = build_or_load_index(ds, nlist, metric, dtype)
+    build_s = time.perf_counter() - t0
     gt = ds.gt(metric)
     n = ds.base.shape[0]
 
+    # Coarse-only executable for the phase split (the reference reports
+    # centroid/fine time separately — SearchTiming, IVFIndex.h:31-36).
+    from rag_on_edge_tpu.ops import distances as _dist, topk as _topk
+
+    def _coarse(arrays, q):
+        c = _dist.score_matrix(
+            q, arrays["centroids"], metric=index.coarse_metric,
+            base_norms=arrays.get("centroid_norms"),
+        )
+        return _topk.small_topk(c, min(max(nprobes), index.nlist))[1]
+
+    coarse_jit = jax.jit(_coarse)
+
     results = []
+    deploy_lines = [f"index_build_or_load_s: {build_s:.2f}"]
     for nprobe in nprobes:
+        t0 = time.perf_counter()
         index.compile(batch, k, nprobe, mode=mode)
+        compile_s = time.perf_counter() - t0
+        deploy_lines.append(f"compile_nprobe{nprobe}_s: {compile_s:.2f}")
         search = lambda q: index.search_device(q, k, nprobe, mode=mode)  # noqa: E731
         batches = _device_batches(ds.queries, batch)
         lat = timing.measure_latency(search, batches)
         qps = timing.measure_throughput(search, batches, repeats=repeats)
+        coarse_qps = timing.measure_throughput(
+            lambda q: coarse_jit(index._arrays, q), batches, repeats=repeats
+        )
+        coarse_ms = 1e3 * batch / coarse_qps
+        total_ms = 1e3 * batch / qps
+        phase_lines = [
+            f"coarse (centroid GEMM + top-nprobe): {coarse_ms:.3f} ms/batch "
+            f"({100 * coarse_ms / total_ms:.1f}%)",
+            f"fine (+dispatch/join): {total_ms - coarse_ms:.3f} ms/batch "
+            f"({100 * (1 - coarse_ms / total_ms):.1f}%)",
+        ]
 
         ids, scores, avg_cand = index.search(
             ds.queries, k=k, nprobe=nprobe, batch_size=batch, mode=mode
@@ -133,6 +166,7 @@ def run(
                         f"throughput_qps: {qps:.1f}",
                         f"per_query_latency_amortized_ms: {1e3 / qps:.4f}",
                     ],
+                    "Phase Breakdown": phase_lines,
                     "Device Execution": lat.lines("batch"),
                 },
             )
@@ -142,6 +176,12 @@ def run(
                 f"{dataset},{nprobe},{k},{recall:.4f},{qps:.1f},{lat.mean:.4f},"
                 f"{lat.p50:.4f},{lat.p95:.4f},{lat.p99:.4f},{avg_cand:.1f},{reduction:.1f}",
             )
+    if outdir:
+        # Deploy-phase profiling, the analog of the reference's timing.txt
+        # (deploy.sh:259-299: per-phase push/context-gen/run times).
+        os.makedirs(outdir, exist_ok=True)
+        with open(os.path.join(outdir, "timing.txt"), "w") as f:
+            f.write("\n".join(deploy_lines) + "\n")
     return results
 
 

@@ -44,6 +44,23 @@ def sweep_bruteforce(
     ]
 
 
+def recall_target_summary(rows: list[dict], targets=(0.95, 0.90, 0.80)) -> list[str]:
+    """Best (fastest) configuration meeting each recall target — the
+    reference study's closing table (``benchmark_ivf.py:259-295``)."""
+    lines = []
+    for t in targets:
+        ok = [r for r in rows if r["recall"] >= t]
+        if ok:
+            best = max(ok, key=lambda r: r["qps"])
+            lines.append(
+                f"recall>={t:.0%}: nprobe={best['nprobe']} -> "
+                f"{best['qps']:,.0f} QPS at recall@{best['k']}={best['recall']:.4f}"
+            )
+        else:
+            lines.append(f"recall>={t:.0%}: no configuration reached the target")
+    return lines
+
+
 def sweep_ivf(
     dataset: str = "siftsmall",
     nprobes: tuple[int, ...] = (8, 16, 32, 64),
@@ -51,15 +68,21 @@ def sweep_ivf(
     batch: int = 32,
     nlist: int | None = None,
     dtype: str = "fp32",
+    metric: str = "ip",
+    mode: str = "auto",
     outdir: str = "results",
 ) -> list[dict]:
     """nprobe sweep (the reference's {8,16,32,64} with top_k=10,
-    ``run_all_ivf.sh:26-27``)."""
+    ``run_all_ivf.sh:26-27``) plus the recall-target summary of the
+    reference's host-side study (``benchmark_ivf.py:259-295``)."""
     out = _stamped(outdir, f"sweep_ivf_{dataset}")
-    return bench_ivf.run(
+    rows = bench_ivf.run(
         dataset=dataset, nprobes=tuple(nprobes), k=k, batch=batch,
-        nlist=nlist, dtype=dtype, outdir=out,
+        nlist=nlist, dtype=dtype, metric=metric, mode=mode, outdir=out,
     )
+    for line in recall_target_summary(rows):
+        print(line)
+    return rows
 
 
 def main(argv=None) -> None:
@@ -78,13 +101,15 @@ def main(argv=None) -> None:
     pi.add_argument("--batch", type=int, default=32)
     pi.add_argument("--nlist", type=int, default=None)
     pi.add_argument("--dtype", default="fp32")
+    pi.add_argument("--metric", default="ip", choices=["ip", "l2"])
+    pi.add_argument("--mode", default="auto", choices=["auto", "query", "cluster"])
     pi.add_argument("--outdir", default="results")
     args = p.parse_args(argv)
     if args.cmd == "brute":
         sweep_bruteforce(args.dataset, tuple(args.batches), args.k, args.dtype, args.outdir)
     else:
         sweep_ivf(args.dataset, tuple(args.nprobe), args.k, args.batch, args.nlist,
-                  args.dtype, args.outdir)
+                  args.dtype, args.metric, args.mode, args.outdir)
 
 
 if __name__ == "__main__":

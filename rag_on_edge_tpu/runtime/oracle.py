@@ -14,11 +14,13 @@ import threading
 
 import numpy as np
 
-__all__ = ["oracle_search", "native_available", "build_library"]
+__all__ = ["oracle_search", "native_available", "build_library", "build_binary"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "cpu_oracle.cpp")
+_MAIN_SRC = os.path.join(_HERE, "cpu_oracle_main.cpp")
 _LIB = os.path.join(_HERE, "libcpu_oracle.so")
+_BIN = os.path.join(_HERE, "cpu_oracle")
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
 _build_failed = False
@@ -41,6 +43,32 @@ def build_library(force: bool = False) -> str | None:
             cmd.remove("-fopenmp")
             subprocess.run(cmd, check=True, capture_output=True, text=True)
             return _LIB
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            return None
+
+
+def build_binary(force: bool = False) -> str | None:
+    """Compile the standalone ``cpu_oracle`` CLI binary (the reference's
+    cpu_baseline executable with its documented argv contract).  Returns
+    the path or None."""
+    if (
+        os.path.exists(_BIN)
+        and not force
+        and os.path.getmtime(_BIN) >= max(os.path.getmtime(_SRC), os.path.getmtime(_MAIN_SRC))
+    ):
+        return _BIN
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-fopenmp",
+        _MAIN_SRC, _SRC, "-o", _BIN,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+        return _BIN
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        try:
+            cmd.remove("-fopenmp")
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
+            return _BIN
         except (subprocess.CalledProcessError, FileNotFoundError):
             return None
 

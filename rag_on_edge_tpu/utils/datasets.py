@@ -121,18 +121,12 @@ def ground_truth(
     n = base.shape[0]
     k = min(k, n)
 
-    matmul = None
     if backend == "jax" or (backend == "auto" and n * len(queries) >= 2**26):
         try:
-            import jax.numpy as jnp
-
-            def matmul(q, b):  # noqa: E731 — [Qc, D] x [C, D] -> [Qc, C]
-                return np.asarray(jnp.dot(jnp.asarray(q), jnp.asarray(b).T))
-
+            return _ground_truth_jax(base, queries, k, metric, query_chunk)
         except ImportError:
-            matmul = None
-    if matmul is None:
-        matmul = lambda q, b: q @ b.T  # noqa: E731
+            pass
+    matmul = lambda q, b: q @ b.T  # noqa: E731
 
     base_norms = np.sum(base.astype(np.float32) ** 2, axis=1) if metric == "l2" else None
 
@@ -155,6 +149,35 @@ def ground_truth(
             best_ids = np.concatenate([best_ids, c_ids], axis=1)
         best_scores, best_ids = _chunk_topk(best_scores, best_ids, k)
         out[qs : qs + len(q)] = best_ids.astype(np.int32)
+    return out
+
+
+def _ground_truth_jax(
+    base: np.ndarray, queries: np.ndarray, k: int, metric: str, query_chunk: int
+) -> np.ndarray:
+    """Device-resident exact ground truth: the base is transferred once
+    (host↔device transfers dominate chunked host-side variants) and each
+    query chunk runs one fused score+select executable."""
+    import jax
+    import jax.numpy as jnp
+
+    from rag_on_edge_tpu.ops import distances, topk as topk_ops
+
+    base_dev = jnp.asarray(base, dtype=jnp.float32)
+    norms = distances.base_norms_sq(base_dev) if metric == "l2" else None
+
+    @jax.jit
+    def one_chunk(b, bn, q):
+        scores = distances.score_matrix(q, b, metric=metric, base_norms=bn)
+        if k <= 32:
+            return topk_ops.iterative_topk(scores, k)
+        return topk_ops.two_stage_topk(scores, k)
+
+    out = np.empty((len(queries), k), dtype=np.int32)
+    for qs in range(0, len(queries), query_chunk):
+        q = queries[qs : qs + query_chunk].astype(np.float32)
+        _, ids = one_chunk(base_dev, norms, jnp.asarray(q))
+        out[qs : qs + len(q)] = np.asarray(ids)[: len(q)]
     return out
 
 

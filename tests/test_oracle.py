@@ -46,3 +46,26 @@ def test_numpy_fallback_matches_native(small_data):
         queries[:8].astype(np.float32), base.astype(np.float32), 5, "ip"
     )
     np.testing.assert_allclose(s_n, s_f, rtol=1e-5)
+
+
+def test_standalone_binary(tmp_path, small_data):
+    import subprocess
+
+    from rag_on_edge_tpu.utils import io
+
+    path = oracle.build_binary()
+    assert path, "cpu_oracle binary failed to build"
+    base, queries = small_data
+    io.write_fvecs(tmp_path / "base.fvecs", base)
+    io.write_fvecs(tmp_path / "query.fvecs", queries[:8])
+    out = subprocess.run(
+        [path, str(tmp_path / "base.fvecs"), str(tmp_path / "query.fvecs"), "5",
+         str(tmp_path), "ip"],
+        capture_output=True, text=True, check=True,
+    )
+    assert "throughput_qps" in out.stdout
+    lines = (tmp_path / "results.txt").read_text().strip().splitlines()
+    assert len(lines) == 8 and lines[0].startswith("Query 0:")
+    # first id of query 0 matches the library API
+    ids, _ = oracle.oracle_search(queries[:1], base, k=5, metric="ip")
+    assert f"({ids[0,0]}," in lines[0]
