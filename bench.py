@@ -25,7 +25,7 @@ def _stream_qps(micro_batches: int = 16, batch: int = 32, k: int = 5) -> float:
     from rag_on_edge_tpu.models.brute_force import BruteForceIndex
     from rag_on_edge_tpu.utils.datasets import load_dataset
 
-    from rag_on_edge_tpu.harness.timing import unique_variants
+    from rag_on_edge_tpu.harness.timing import measure_throughput
 
     ds = load_dataset("siftsmall", gt_k=k)
     index = BruteForceIndex(ds.base, dtype="int8")
@@ -35,14 +35,10 @@ def _stream_qps(micro_batches: int = 16, batch: int = 32, k: int = 5) -> float:
             np.resize(ds.queries, (micro_batches * batch, ds.queries.shape[1])), axis=0
         ).reshape(micro_batches, batch, -1)
     )
-    streams = unique_variants([base_stream], 33)
-    jax.block_until_ready(index.search_stream_device(streams[0], k))
-    t0 = time.perf_counter()
-    out = None
-    for s in streams[1:]:
-        out = index.search_stream_device(s, k)
-    jax.block_until_ready(out)
-    return micro_batches * batch * (len(streams) - 1) / (time.perf_counter() - t0)
+    qps_per_row = measure_throughput(
+        lambda s: index.search_stream_device(s, k), [base_stream], repeats=16
+    )
+    return qps_per_row * batch  # rows are micro-batches of `batch` queries
 
 
 def main() -> None:
@@ -60,16 +56,22 @@ def main() -> None:
         outdir=None,
         quiet=True,
     )
+    # Sustained throughput over a stream of batch-32 searches — the same
+    # methodology as the reference's 5208 QPS (total queries / total time
+    # across sequential batch-32 graph executions, main.cpp:258-270).
+    stream16 = _stream_qps(16)
+    stream64 = _stream_qps(64)
     print(
         json.dumps(
             {
-                "metric": "siftsmall_int8_bruteforce_qps_b32",
-                "value": round(r["qps"], 1),
+                "metric": "siftsmall_int8_bruteforce_sustained_qps_b32",
+                "value": round(stream16, 1),
                 "unit": "QPS",
-                "vs_baseline": round(r["qps"] / REFERENCE_QPS, 3),
+                "vs_baseline": round(stream16 / REFERENCE_QPS, 3),
                 "recall_at_5": round(r["recall"], 4),
+                "single_dispatch_qps_b32": round(r["qps"], 1),
+                "stream_qps_b32x64": round(stream64, 1),
                 "batch_latency_ms_p50": round(r["latency"].p50, 4),
-                "stream_qps_b32x16": round(_stream_qps(), 1),
             }
         )
     )

@@ -1,20 +1,20 @@
 """Device-timing utilities for the benchmark harnesses.
 
 Measures the two quantities the reference harnesses report
-(``main.cpp:258-390``):
+(``main.cpp:258-390``): per-batch latency (mean/σ/percentiles) and
+sustained throughput.
 
-- **per-batch latency** (sync after every call → mean/σ/percentiles), the
-  analog of its per-batch `graphExecute` timing, and
-- **sustained throughput** (enqueue a stream of batches, block once at the
-  end), which is what a serving deployment sees — the reference cannot
-  separate these because QNN executes synchronously; on TPU the async
-  dispatch pipeline makes the distinction real.
+Measurement integrity on this environment (axon-tunnelled TPU) requires
+two defenses, both learned the hard way:
 
-Measurement integrity on this environment: the axon relay deduplicates
-executions whose (executable, argument values) repeat, so every timed call
-MUST receive a distinct input.  Both helpers materialize per-call variants
-(tiny additive jitter) up front; reusing a batch object across iterations
-silently measures the dispatch floor instead of the device.
+1. **Distinct inputs per call** — repeated identical executions can be
+   served from a cache, silently measuring the dispatch path.
+2. **Forced execution via a dependency chain** — ``block_until_ready``
+   through the relay does not reliably force execution (lazy/on-demand
+   evaluation), so throughput timing threads a scalar from each call's
+   output into the next call's input and materializes the final scalar to
+   the host: one transfer forces every execution in order.  Numbers from
+   unchained async loops on this stack can be off by the loop length.
 """
 
 from __future__ import annotations
@@ -22,6 +22,7 @@ from __future__ import annotations
 import time
 
 import jax
+import numpy as np
 
 from rag_on_edge_tpu.utils.metrics import LatencyStats
 
@@ -41,36 +42,50 @@ def unique_variants(batches, copies: int, jitter: float = 1e-3):
     return jax.block_until_ready(out)
 
 
-def measure_latency(fn, batches, warmup: int = 3) -> LatencyStats:
-    """Per-call wall latencies (ms), block_until_ready after each call.
+def _first_leaf(out):
+    return jax.tree_util.tree_leaves(out)[0]
 
-    Note: on tunnelled devices the sync round trip (≈29 ms here) dominates
-    small workloads; use :func:`measure_throughput` for capacity numbers.
-    """
+
+def measure_latency(fn, batches, warmup: int = 3) -> LatencyStats:
+    """Per-call wall latencies (ms); each call's output is materialized to
+    the host, so a sample = dispatch + execution + result round trip."""
     variants = unique_variants(batches, 2)
     n = len(batches)
     for i in range(min(warmup, n)):
-        jax.block_until_ready(fn(variants[i]))
+        np.asarray(_first_leaf(fn(variants[i])))
     samples = []
     for b in variants[n:]:
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(b))
+        np.asarray(_first_leaf(fn(b)))
         samples.append((time.perf_counter() - t0) * 1e3)
     return LatencyStats.from_samples(samples)
 
 
-def measure_throughput(fn, batches, warmup: int = 3, repeats: int = 10) -> float:
-    """Sustained queries/sec: enqueue repeats×len(batches) distinct calls,
-    sync once.  Returns QPS."""
+def measure_throughput(fn, batches, warmup: int = 2, repeats: int = 10) -> float:
+    """Sustained queries/sec over repeats×len(batches) distinct calls.
+
+    Calls are chained (input i+1 depends on output i) and only the final
+    scalar is materialized, so the wall time covers every execution with
+    one host round trip.  ``fn`` must take one array and return a pytree
+    whose first leaf is a float array.
+    """
     variants = unique_variants(batches, repeats + 1)
     n = len(batches)
-    for i in range(min(max(warmup, 1), n)):
-        jax.block_until_ready(fn(variants[i]))
+
+    def run_chain(chain):
+        carry = None
+        for v in chain:
+            out = fn(v if carry is None else v + carry)
+            leaf = _first_leaf(out)
+            carry = (leaf[(0,) * leaf.ndim] * 0.0).astype(v.dtype)
+        return float(np.asarray(carry))
+
+    # Warmup compiles both call forms (plain first call + chained call)
+    # on ad-hoc variants that never reappear in the timed chain.
+    run_chain([variants[0], variants[0] + 7.7])
+    del warmup
     timed = variants[n:]
     n_queries = sum(int(b.shape[0]) for b in timed)
     t0 = time.perf_counter()
-    out = None
-    for b in timed:
-        out = fn(b)
-    jax.block_until_ready(out)
+    run_chain(timed)
     return n_queries / (time.perf_counter() - t0)
