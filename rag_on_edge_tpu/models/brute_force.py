@@ -136,9 +136,12 @@ class BruteForceIndex:
     # ------------------------------------------------------------------ impl
 
     def _search_pallas(self, arrays, queries: jax.Array, k: int):
+        # With rescoring downstream, the cheap binned tile selection is
+        # safe; without it the kernel stays exact.
+        nbins = 128 if self.rescore else 0
         if self.dtype == "int8":
             q = quantize.quantize_int8(queries, per_row=True)
-            vals_i32, ids = fused_topk_matmul(q.values, arrays["base_t"], k)
+            vals_i32, ids = fused_topk_matmul(q.values, arrays["base_t"], k, nbins=nbins)
             vals = quantize.dequantize(vals_i32, q.scale, arrays["base_scale"])
             return vals, ids
         if self.metric == "l2":
@@ -146,7 +149,7 @@ class BruteForceIndex:
                 [queries, jnp.ones((queries.shape[0], 1), queries.dtype)], axis=1
             )
         q = queries.astype(jnp.bfloat16) if self.dtype == "bf16" else queries
-        vals, ids = fused_topk_matmul(q, arrays["base_t"], k)
+        vals, ids = fused_topk_matmul(q, arrays["base_t"], k, nbins=nbins)
         if self.metric == "l2":
             vals = 2.0 * vals  # back to the 2q·b - ‖b‖² convention
         return vals, ids

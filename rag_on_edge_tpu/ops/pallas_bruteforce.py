@@ -33,7 +33,7 @@ __all__ = ["fused_topk_matmul", "auto_tile_n"]
 # Budget for the [B, tile_n] score tile.  Selection temporaries (the
 # max-and-mask chain) cost the compiler ~2-3x the tile's footprint in
 # scoped VMEM stack, so this stays well under the 16 MB VMEM.
-_VMEM_SCORE_BUDGET = 2 << 20
+_VMEM_SCORE_BUDGET = 1 << 20
 
 
 def _interpret_default() -> bool:
@@ -71,7 +71,45 @@ def _extract_topk(scores, col_ids, k, fill):
     return jnp.concatenate(vals, axis=1), jnp.concatenate(ids, axis=1)
 
 
-def _kernel(q_ref, base_ref, out_vals_ref, out_ids_ref, sv_ref, si_ref, *, k, n, tile_n, acc_dtype):
+def binned_top2(sc_ref, row0, tile_w, nbins, fill):
+    """Top-2-per-strided-bin partial reduction over a staged score tile.
+
+    sc_ref: VMEM ref [B, tile_w] (Mosaic cannot lane-slice computed values
+    or reshape 2D→3D in registers, so chunks are ref slices); chunk i =
+    cols [i·nbins, (i+1)·nbins), bin b = elementwise position b across
+    chunks; row0 = global id of the tile's first column.  Returns
+    (vals [B, 2·nbins], ids [B, 2·nbins]); per (row, bin) only the two best
+    members survive — callers recover statistically-lost near-duplicates
+    with a k' > k pool + rescoring (the TPU-KNN PartialReduce trade,
+    arXiv:2206.14286).
+    """
+    b = sc_ref.shape[0]
+    w = tile_w // nbins
+    big = jnp.int32(2**30)
+    base_iota = jax.lax.broadcasted_iota(jnp.int32, (b, nbins), 1)
+    s_chunks = [sc_ref[:, i * nbins : (i + 1) * nbins] for i in range(w)]
+    r_chunks = [base_iota + (row0 + i * nbins) for i in range(w)]
+
+    def bin_top(chunks):
+        bmax = chunks[0]
+        for c in chunks[1:]:
+            bmax = jnp.maximum(bmax, c)
+        bid = jnp.full((b, nbins), big, jnp.int32)
+        for sc, rc in zip(chunks, r_chunks):
+            bid = jnp.minimum(bid, jnp.where(sc == bmax, rc, big))
+        return bmax, bid
+
+    bmax1, bid1 = bin_top(s_chunks)
+    s_masked = [jnp.where(rc == bid1, fill, sc) for sc, rc in zip(s_chunks, r_chunks)]
+    bmax2, bid2 = bin_top(s_masked)
+    return (
+        jnp.concatenate([bmax1, bmax2], axis=1),
+        jnp.concatenate([bid1, bid2], axis=1),
+    )
+
+
+def _kernel(q_ref, base_ref, out_vals_ref, out_ids_ref, sv_ref, si_ref, sc_ref,
+            *, k, n, tile_n, acc_dtype, nbins):
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0)
     fill = jnp.iinfo(acc_dtype).min if jnp.issubdtype(acc_dtype, jnp.integer) else acc_dtype(-jnp.inf)
@@ -95,23 +133,28 @@ def _kernel(q_ref, base_ref, out_vals_ref, out_ids_ref, sv_ref, si_ref, *, k, n,
     global_cols = local_cols + i * tile_n
     # Mask the zero-padded tail of the last tile.
     scores = jnp.where(global_cols < n, scores, fill)
+    if nbins:
+        sc_ref[:] = scores  # staged for ref-slice binning
 
-    # Threshold skip: selection (k max-and-mask passes) only runs when some
-    # query's tile max beats its current k-th best.  Tiles arrive in
-    # ascending id order, so an equal-score candidate in a later tile has a
-    # higher id and can never displace a held entry (ties resolve to the
-    # lowest id) — strict `>` keeps this exact.
+    # Threshold skip: selection only runs when some query's tile max beats
+    # its current k-th best.  Tiles arrive in ascending id order, so an
+    # equal-score candidate in a later tile has a higher id and can never
+    # displace a held entry (ties resolve to the lowest id) — strict `>`
+    # keeps the exact path exact.
     improves = jnp.any(jnp.max(scores, axis=1) > sv_ref[:, k - 1])
 
     @pl.when(improves)
     def _select_and_merge():
-        tv, ti = _extract_topk(scores, global_cols, k, fill)
+        if nbins:
+            tv, ti = binned_top2(sc_ref, i * tile_n, tile_n, nbins, fill)
+        else:
+            tv, ti = _extract_topk(scores, global_cols, k, fill)
         # Candidate ids are unique per row (scratch holds earlier tiles'
         # ids, the tile's ids are a fresh column range — except the id-0
         # init entries, which carry `fill` scores and can never win over a
         # real score), so selection keys directly on the id payload: no
         # gather needed.
-        cand_v = jnp.concatenate([sv_ref[:], tv], axis=1)  # [B, 2k]
+        cand_v = jnp.concatenate([sv_ref[:], tv], axis=1)
         cand_i = jnp.concatenate([si_ref[:], ti], axis=1)
         mv, mi = _extract_topk(cand_v, cand_i, k, fill)
         sv_ref[:] = mv
@@ -123,19 +166,24 @@ def _kernel(q_ref, base_ref, out_vals_ref, out_ids_ref, sv_ref, si_ref, *, k, n,
         out_ids_ref[:] = si_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "nbins", "interpret"))
 def fused_topk_matmul(
     queries: jax.Array,
     base_t: jax.Array,
     k: int,
     tile_n: int | None = None,
+    nbins: int = 0,
     interpret: bool | None = None,
 ):
-    """Fused exact top-k inner-product search.
+    """Fused top-k inner-product search.
 
     queries: [B, D] — int8 or float (must match base's dtype family).
     base_t:  [D, N] — the **transposed** database; int8 (int32
              accumulation) or fp32/bf16 (f32 accumulation).
+    nbins:   0 → exact per-tile selection (k max-and-mask passes);
+             >0 (e.g. 128) → top-2-per-bin partial reduction per tile —
+             approximate, far cheaper for large B·k, pair with a k' > k
+             candidate pool + rescoring.
     Returns (vals [B, k] acc_dtype, ids [B, k] int32), best first, ties to
     the lowest id.  Requires N ≥ k.  N is padded internally to a tile
     multiple; B is padded to the sublane quantum.
@@ -160,12 +208,16 @@ def fused_topk_matmul(
 
     if tile_n is None:
         tile_n = auto_tile_n(bp, n, 4)
+    if nbins and tile_n % nbins:
+        raise ValueError(f"tile_n={tile_n} must be a multiple of nbins={nbins}")
     pad_n = (-n) % tile_n
     if pad_n:
         base_t = jnp.pad(base_t, ((0, 0), (0, pad_n)))
     n_tiles = (n + pad_n) // tile_n
 
-    kernel = functools.partial(_kernel, k=k, n=n, tile_n=tile_n, acc_dtype=acc_dtype)
+    kernel = functools.partial(
+        _kernel, k=k, n=n, tile_n=tile_n, acc_dtype=acc_dtype, nbins=nbins
+    )
     vals, ids = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -184,6 +236,7 @@ def fused_topk_matmul(
         scratch_shapes=[
             pltpu.VMEM((bp, k), acc_dtype),
             pltpu.VMEM((bp, k), jnp.int32),
+            pltpu.VMEM((bp, tile_n if nbins else 8), acc_dtype),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * bp * d * (n + pad_n),

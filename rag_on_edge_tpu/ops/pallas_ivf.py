@@ -31,7 +31,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from rag_on_edge_tpu.ops.pallas_bruteforce import _extract_topk
+from rag_on_edge_tpu.ops.pallas_bruteforce import _extract_topk, binned_top2
 
 __all__ = ["cluster_major_scan", "build_block_tables"]
 
@@ -100,42 +100,14 @@ def _kernel(
 
     @pl.when(improves)
     def _select():
-        # Bin-max partial reduction (the TPU-KNN PartialReduce idea,
-        # arXiv:2206.14286): strided bins keep the minor axis at `nbins`
-        # lanes.  Per (slot, bin) only the best of blk/nbins members
-        # survives; lost near-duplicates are recovered statistically by
-        # the k' > k candidate pool + fp32 rescore downstream.  Two
-        # passes instead of k max-and-mask passes over the full tile.
-        # Mosaic has no in-register 2D→3D reshape (and cannot lane-slice
-        # computed values); bins are lane-aligned chunk slices of the
-        # scratch ref: chunk i = cols [i*nbins, (i+1)*nbins), bin b =
-        # elementwise position b across chunks.  Row-id chunks are
-        # computed as iota + offset, never sliced.
-        w = blk // nbins
-        big = jnp.int32(2**30)
-        base_iota = jax.lax.broadcasted_iota(jnp.int32, (qcap, nbins), 1)
-        s_chunks = [sc_ref[:, i * nbins : (i + 1) * nbins] for i in range(w)]
-        r_chunks = [base_iota + (j * blk + i * nbins) for i in range(w)]
-
-        def bin_top(chunks):
-            bmax = chunks[0]
-            for c in chunks[1:]:
-                bmax = jnp.maximum(bmax, c)
-            bid = jnp.full((qcap, nbins), big, jnp.int32)
-            for sc, rc in zip(chunks, r_chunks):
-                bid = jnp.minimum(bid, jnp.where(sc == bmax, rc, big))
-            return bmax, bid
-
-        bmax1, bid1 = bin_top(s_chunks)
-        # Second-best per bin: losing a candidate now needs a 3-way bin
-        # collision among the block's top scorers.
-        s_masked = [
-            jnp.where(rc == bid1, fill, sc) for sc, rc in zip(s_chunks, r_chunks)
-        ]
-        bmax2, bid2 = bin_top(s_masked)
-        # Merge bins into the running top-k (narrow: k + 2*nbins wide).
-        cand_v = jnp.concatenate([sv_ref[:], bmax1, bmax2], axis=1)
-        cand_i = jnp.concatenate([si_ref[:], bid1, bid2], axis=1)
+        # Top-2-per-strided-bin partial reduction (shared with the
+        # brute-force kernel; TPU-KNN PartialReduce, arXiv:2206.14286) —
+        # lost near-duplicates are recovered statistically by the k' > k
+        # candidate pool + fp32 rescore downstream.
+        tv, ti = binned_top2(sc_ref, j * blk, blk, nbins, fill)
+        # Merge into the running top-k (narrow: k + 2*nbins wide).
+        cand_v = jnp.concatenate([sv_ref[:], tv], axis=1)
+        cand_i = jnp.concatenate([si_ref[:], ti], axis=1)
         mv, mi = _extract_topk(cand_v, cand_i, k, fill)
         sv_ref[:] = mv
         si_ref[:] = mi
