@@ -54,6 +54,7 @@ def run(
     repeats: int = 10,
     outdir: str | None = None,
     quiet: bool = False,
+    profile: bool = False,
 ) -> dict:
     ds = load_dataset(dataset, gt_k=max(k, 10))
     index = BruteForceIndex(ds.base, metric=metric, dtype=dtype, select=select)
@@ -62,7 +63,19 @@ def run(
     search = lambda q: index.search_device(q, k)  # noqa: E731
     batches = _device_batches(ds.queries, batch)
     lat = timing.measure_latency(search, batches)
-    qps = timing.measure_throughput(search, batches, repeats=repeats)
+    if profile:
+        # Device trace of the throughput loop (the analog of the AIE
+        # hardware-trace buffer, test.cpp:152-155/368-371) — inspect with
+        # TensorBoard or Perfetto.
+        import jax
+
+        trace_dir = os.environ.get("RAG_EDGE_TPU_PROFILE_DIR", "/tmp/rag_edge_tpu_trace")
+        with jax.profiler.trace(trace_dir):
+            qps = timing.measure_throughput(search, batches, repeats=repeats)
+        if not quiet:
+            print(f"[profile] trace written to {trace_dir}")
+    else:
+        qps = timing.measure_throughput(search, batches, repeats=repeats)
 
     ids, scores = index.search(ds.queries, k=k, batch_size=batch)
     gt = ds.gt(metric)
@@ -146,11 +159,12 @@ def main(argv=None) -> None:
     p.add_argument("--repeats", type=int, default=10)
     p.add_argument("--outdir", default="results")
     p.add_argument("--json", action="store_true", help="print one JSON line")
+    p.add_argument("--profile", action="store_true", help="write a device trace")
     args = p.parse_args(argv)
     r = run(
         dataset=args.dataset, batch=args.batch, k=args.k, dtype=args.dtype,
         metric=args.metric, select=args.select, repeats=args.repeats,
-        outdir=args.outdir, quiet=args.json,
+        outdir=args.outdir, quiet=args.json, profile=args.profile,
     )
     if args.json:
         r = {**r, "latency": r["latency"].__dict__}

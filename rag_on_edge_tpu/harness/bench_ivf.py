@@ -21,12 +21,10 @@ import os
 import time
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 from rag_on_edge_tpu.harness import timing
-from rag_on_edge_tpu.utils.cache import enable_compilation_cache
 from rag_on_edge_tpu.harness.bench_bruteforce import _device_batches
+from rag_on_edge_tpu.utils.cache import enable_compilation_cache
 from rag_on_edge_tpu.models.ivf import IVFIndex
 from rag_on_edge_tpu.models.kmeans import default_nlist
 from rag_on_edge_tpu.utils import metrics

@@ -21,7 +21,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["QuantizedTensor", "calibrate_scale", "quantize_int8", "dequantize"]
+__all__ = ["QuantizedTensor", "calibrate_scale", "calibrate_scale_from_sample", "quantize_int8", "dequantize"]
 
 
 class QuantizedTensor(NamedTuple):
@@ -40,6 +40,18 @@ def calibrate_scale(x: jax.Array, per_row: bool = False) -> jax.Array:
     else:
         amax = jnp.max(jnp.abs(x))
     return jnp.maximum(amax.astype(jnp.float32), 1e-12) / 127.0
+
+
+def calibrate_scale_from_sample(sample: jax.Array, percentile: float = 100.0) -> jax.Array:
+    """Activation calibration from a representative sample (the reference
+    feeds query ``.raw`` dumps to its converter, ``convert_to_qnn.sh:96-151``).
+
+    ``percentile`` < 100 clips outliers (finer resolution for the bulk of
+    the distribution at the cost of saturating the tail).
+    """
+    mag = jnp.abs(sample.astype(jnp.float32))
+    amax = jnp.max(mag) if percentile >= 100.0 else jnp.percentile(mag, percentile)
+    return jnp.maximum(amax, 1e-12) / 127.0
 
 
 def quantize_int8(

@@ -1,4 +1,5 @@
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from rag_on_edge_tpu.ops import distances, quantize
@@ -43,3 +44,11 @@ def test_dequantize_matches_fp32(rng):
     raw = distances.score_matrix_int8(qq.values, bq.values)
     deq = np.asarray(quantize.dequantize(raw, qq.scale, bq.scale))
     np.testing.assert_allclose(deq, queries @ base.T, rtol=0.05, atol=2.0)
+
+
+def test_calibrate_from_sample(rng):
+    x = jnp.asarray(rng.uniform(0, 141, size=(100, 32)).astype(np.float32))
+    full = quantize.calibrate_scale_from_sample(x)
+    clipped = quantize.calibrate_scale_from_sample(x, percentile=95.0)
+    assert float(clipped) < float(full)
+    assert float(full) == pytest.approx(float(jnp.max(jnp.abs(x))) / 127.0)
