@@ -475,7 +475,10 @@ class IVFIndex:
         re-select (optionally fp32-rescoring the kk candidates), and map
         padded rows back to original ids."""
         b = probes.shape[0]
-        ok = slot >= 0
+        # Empty probed clusters have no blocks, so the pallas engine never
+        # writes their output rows — exclude them (alongside spilled pairs)
+        # or the join would read uninitialized memory.
+        ok = (slot >= 0) & (arrays["sizes"][probes] > 0)
         sl = jnp.clip(slot, 0)
         gv = jnp.where(ok[..., None], pv[probes, sl], _NEG_INF).reshape(b, -1)
         gr = pr[probes, sl].reshape(b, -1)

@@ -254,9 +254,184 @@ class ShardedIVFIndex:
         else:
             self._vector_norms = None
 
+        self._src_index = index  # host-side arrays reused for lazy layouts
+        self._cm_arrays: dict | None = None
         self._search_jit = jax.jit(
             self._make_sharded_fn(), static_argnames=("k", "nprobe", "probe_chunk")
         )
+        self._search_cm_jit = jax.jit(
+            self._make_cluster_major_fn(), static_argnames=("k", "nprobe", "qcap")
+        )
+
+    # ------------------------------------------------- cluster-major (pallas)
+
+    def _ensure_cluster_state(self) -> None:
+        """Per-shard block-padded layouts for the cluster-major kernel.
+
+        Splits the single-chip padded layout at the shard's cluster
+        boundaries; block tables carry GLOBAL cluster ids, so the
+        replicated routed-query table indexes directly.
+        """
+        if self._cm_arrays is not None:
+            return
+        from rag_on_edge_tpu.ops import pallas_ivf
+
+        index = self._src_index
+        blk = index.PAD_BLOCK
+        offs_p = np.asarray(index._arrays["offsets"]).astype(np.int64)  # padded starts
+        sizes = np.asarray(index._arrays["sizes"])
+        vec_p = np.asarray(index._arrays["vectors"], dtype=np.float32)  # [Npad, D]
+        reorder_p = np.asarray(index._arrays["reorder"])
+        n_padded = vec_p.shape[0]
+        bounds = _partition_clusters(
+            np.concatenate([offs_p, [n_padded]]), self.n_shards
+        )
+
+        S = self.n_shards
+        row_bounds = [
+            (int(offs_p[lo]), int(offs_p[hi]) if hi < self.nlist else n_padded)
+            for lo, hi in bounds
+        ]
+        rows_max = max(max(r1 - r0 for r0, r1 in row_bounds), blk)
+        rows_max = -(-rows_max // blk) * blk
+        nblocks_max = rows_max // blk
+
+        d_aug = self.dim + (1 if self.metric == "l2" else 0)
+        vecs_t = np.zeros((S, d_aug, rows_max), dtype=np.float32)
+        vecs = np.zeros((S, rows_max, self.dim), dtype=np.float32)
+        reorder = np.full((S, rows_max), -1, dtype=np.int32)
+        bc = np.zeros((S, nblocks_max), dtype=np.int32)
+        bf = np.zeros((S, nblocks_max), dtype=np.int32)
+        bl = np.zeros((S, nblocks_max), dtype=np.int32)
+        rv = np.zeros((S, nblocks_max), dtype=np.int32)
+        cluster_shard = np.zeros(self.nlist, dtype=np.int32)
+        for s, ((lo, hi), (r0, r1)) in enumerate(zip(bounds, row_bounds)):
+            nloc = r1 - r0
+            local = vec_p[r0:r1].T
+            vecs_t[s, : self.dim, :nloc] = local
+            if self.metric == "l2":
+                vecs_t[s, self.dim, :nloc] = -0.5 * np.sum(local * local, axis=0)
+            vecs[s, :nloc] = vec_p[r0:r1]
+            reorder[s, :nloc] = reorder_p[r0:r1]
+            cluster_shard[lo:hi] = s
+            if hi > lo:
+                bcl, bfl, bll, rvl = pallas_ivf.build_block_tables(
+                    offs_p[lo:hi] - r0, sizes[lo:hi], blk
+                )
+                nb = len(bcl)
+                bc[s, :nb] = bcl + lo  # local tables, GLOBAL cluster ids
+                bf[s, :nb] = bfl
+                bl[s, :nb] = bll
+                rv[s, :nb] = rvl
+                # Trailing dummy blocks: attached to the last owned cluster
+                # with first=last=0 and no valid rows — pure no-ops.
+                bc[s, nb:] = hi - 1
+
+        sh = lambda *spec: NamedSharding(self.mesh, P(*spec))  # noqa: E731
+        dt = jnp.bfloat16 if self.dtype == "bf16" else jnp.float32
+        self._cm_arrays = {
+            "vectors_t": jax.device_put(jnp.asarray(vecs_t, dtype=dt), sh(self.axis, None, None)),
+            "vectors": jax.device_put(jnp.asarray(vecs), sh(self.axis, None, None)),
+            "reorder": jax.device_put(jnp.asarray(reorder), sh(self.axis, None)),
+            "bc": jax.device_put(jnp.asarray(bc), sh(self.axis, None)),
+            "bf": jax.device_put(jnp.asarray(bf), sh(self.axis, None)),
+            "bl": jax.device_put(jnp.asarray(bl), sh(self.axis, None)),
+            "rv": jax.device_put(jnp.asarray(rv), sh(self.axis, None)),
+            "cluster_shard": jnp.asarray(cluster_shard),
+            "sizes": jnp.asarray(sizes),
+            "vector_norms": jax.device_put(
+                jnp.asarray(np.sum(vecs * vecs, axis=2)), sh(self.axis, None)
+            ),
+        }
+
+    def _make_cluster_major_fn(self):
+        from rag_on_edge_tpu.models.ivf import invert_probes
+        from rag_on_edge_tpu.ops import pallas_ivf, topk as topk_ops
+
+        axis = self.axis
+        metric = self.metric
+        coarse_metric = self.coarse_metric
+        nlist = self.nlist
+        blk = self._src_index.PAD_BLOCK
+
+        def shard_body(q, cents, c_norms, vecs_t, vecs, reorder, bc, bf, bl, rv,
+                       cluster_shard, sizes, v_norms, k, nprobe, qcap):
+            vecs_t, vecs, reorder = vecs_t[0], vecs[0], reorder[0]
+            bc, bf, bl, rv, v_norms = bc[0], bf[0], bl[0], rv[0], v_norms[0]
+            kk = 2 * k
+
+            # Replicated stages: coarse probing + MoE-style inversion.
+            coarse = distances.score_matrix(
+                q, cents, metric=coarse_metric,
+                base_norms=c_norms if coarse_metric == "l2" else None,
+            )
+            _, probes = topk_ops.small_topk(coarse, min(nprobe, nlist))
+            cq, slot, _spill = invert_probes(probes, nlist, qcap)
+            ncand = jnp.sum(sizes[probes], axis=1).astype(jnp.int32)
+            qg = q[jnp.clip(cq, 0)]
+            qg = jnp.where((cq >= 0)[..., None], qg, 0.0)
+            if metric == "l2":
+                ones = jnp.where((cq >= 0)[..., None], 1.0, 0.0)
+                qg = jnp.concatenate([qg, ones], axis=-1)
+            qg = qg.astype(vecs_t.dtype)
+
+            # Sharded fine stage: each chip scans only its local blocks.
+            pv, pr = pallas_ivf.cluster_major_scan(
+                qg, vecs_t, bc, bf, bl, rv, k=kk, blk=blk
+            )
+            if metric == "l2":
+                pv = 2.0 * pv
+
+            # Join over locally-owned, recorded, non-empty pairs only.
+            b = q.shape[0]
+            me = jax.lax.axis_index(axis)
+            ok = (slot >= 0) & (cluster_shard[probes] == me) & (sizes[probes] > 0)
+            sl = jnp.clip(slot, 0)
+            gv = jnp.where(ok[..., None], pv[probes, sl], _NEG_INF).reshape(b, -1)
+            gr = pr[probes, sl].reshape(b, -1)
+            best_v, sel = topk_ops.small_topk(gv, kk)
+            best_r = jnp.take_along_axis(gr, sel, axis=1)
+            # fp32 rescore of local candidates (binned kernel selection is
+            # approximate).
+            cand = vecs[jnp.clip(best_r, 0, vecs.shape[0] - 1)]
+            scores = jnp.einsum(
+                "bcd,bd->bc", cand, q, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            if metric == "l2":
+                scores = 2.0 * scores - v_norms[jnp.clip(best_r, 0, vecs.shape[0] - 1)]
+            scores = jnp.where(best_v > _NEG_INF, scores, _NEG_INF)
+            best_v, sel2 = topk_ops.small_topk(scores, k)
+            best_r = jnp.take_along_axis(best_r, sel2, axis=1)
+            ids = jnp.where(best_v > _NEG_INF, reorder[jnp.clip(best_r, 0, vecs.shape[0] - 1)], -1)
+
+            out_v, out_i = _gather_merge(best_v, ids.astype(jnp.int32), k, axis)
+            return out_v, out_i, ncand
+
+        in_specs = (
+            P(None, None),  # queries
+            P(None, None),  # centroids
+            P(None) if self.coarse_metric == "l2" else P(),
+            P(axis, None, None),  # vectors_t
+            P(axis, None, None),  # vectors (rescore)
+            P(axis, None),  # reorder
+            P(axis, None), P(axis, None), P(axis, None), P(axis, None),  # tables
+            P(None),  # cluster_shard
+            P(None),  # sizes
+            P(axis, None),  # vector norms
+        )
+
+        def fn(q, cents, c_norms, vecs_t, vecs, reorder, bc, bf, bl, rv,
+               cluster_shard, sizes, v_norms, k, nprobe, qcap):
+            body = functools.partial(shard_body, k=k, nprobe=nprobe, qcap=qcap)
+            return jax.shard_map(
+                body, mesh=self.mesh, in_specs=in_specs,
+                out_specs=(P(None, None), P(None, None), P(None)),
+                check_vma=False,
+            )(q, cents, c_norms, vecs_t, vecs, reorder, bc, bf, bl, rv,
+              cluster_shard, sizes, v_norms)
+
+        return fn
 
     def _make_sharded_fn(self):
         axis = self.axis
@@ -325,9 +500,28 @@ class ShardedIVFIndex:
         )
         return max(1, budget_bytes // max(bytes_per_probe, 1))
 
-    def search_device(self, queries, k: int, nprobe: int, probe_chunk: int | None = None):
-        pc = probe_chunk or self._auto_probe_chunk(queries.shape[0])
+    def _auto_qcap(self, batch: int, nprobe: int, capacity_factor: float = 8.0) -> int:
+        mean_load = batch * min(nprobe, self.nlist) / self.nlist
+        cap = int(-(-capacity_factor * mean_load // 128) * 128)
+        return max(128, min(batch, 256, cap))
+
+    def search_device(self, queries, k: int, nprobe: int, probe_chunk: int | None = None,
+                      mode: str = "query", qcap: int | None = None):
+        """mode "query": per-shard gather fine scan (exact).  mode
+        "cluster": per-shard cluster-major Pallas kernel (binned + fp32
+        rescore) — the batch-scale path."""
         c_norms = self._centroid_norms if self.coarse_metric == "l2" else jnp.zeros(())
+        if mode == "cluster":
+            self._ensure_cluster_state()
+            a = self._cm_arrays
+            return self._search_cm_jit(
+                queries, self._centroids, c_norms,
+                a["vectors_t"], a["vectors"], a["reorder"],
+                a["bc"], a["bf"], a["bl"], a["rv"],
+                a["cluster_shard"], a["sizes"], a["vector_norms"],
+                k, nprobe, qcap or self._auto_qcap(queries.shape[0], nprobe),
+            )
+        pc = probe_chunk or self._auto_probe_chunk(queries.shape[0])
         v_norms = self._vector_norms if self.metric == "l2" else jnp.zeros(())
         return self._search_jit(
             queries, self._centroids, c_norms, self._vectors, v_norms,
@@ -335,7 +529,8 @@ class ShardedIVFIndex:
             k, nprobe, pc,
         )
 
-    def search(self, queries: np.ndarray, k: int, nprobe: int = 16, batch_size: int | None = None):
+    def search(self, queries: np.ndarray, k: int, nprobe: int = 16,
+               batch_size: int | None = None, mode: str = "query"):
         """Host API → (ids [Q,k] i32, scores [Q,k] f32, avg_candidates float)."""
         queries = np.asarray(queries, dtype=np.float32)
         nq = queries.shape[0]
@@ -348,7 +543,7 @@ class ShardedIVFIndex:
             pad = bs - chunk.shape[0]
             if pad:
                 chunk = np.pad(chunk, ((0, pad), (0, 0)))
-            vals, ids, ncand = self.search_device(jnp.asarray(chunk), k, nprobe)
+            vals, ids, ncand = self.search_device(jnp.asarray(chunk), k, nprobe, mode=mode)
             got = bs - pad
             ids_out[start : start + got] = np.asarray(ids)[:got]
             scores_out[start : start + got] = np.asarray(vals)[:got]

@@ -107,3 +107,24 @@ def test_pallas_cluster_kernel_matches_xla(small_data, metric):
                                           qcap=q.shape[0], engine="pallas", rescore=True)
         np.testing.assert_array_equal(np.asarray(c_x), np.asarray(c_p))
         assert recall_at_k(np.asarray(i_p), np.asarray(i_x), 10) >= 0.97
+
+
+def test_empty_clusters_never_pollute_results(small_data):
+    """Queries probing an empty cluster must not read unwritten kernel
+    output rows (the pallas engine only writes rows of non-empty clusters)."""
+    base, queries = small_data
+    idx = IVFIndex.build(base, nlist=16, metric="ip", seed=42, max_iter=20)
+    # Forge an empty cluster: give cluster 3's rows to cluster 2.
+    offs = idx._offsets_np.copy()
+    offs[3] = offs[4]
+    forged = IVFIndex(idx._centroids_np, idx._vectors_np, offs, idx._reorder_np,
+                      metric="ip", coarse_metric="ip")
+    assert int(np.diff(forged._offsets_np)[3]) == 0
+    ids, vals, _ = forged.search(queries, k=10, nprobe=16, mode="cluster",
+                                 engine="pallas")
+    assert ((ids >= -1) & (ids < len(base))).all()
+    # valid results must carry real scores (no zeros/garbage from
+    # uninitialized rows): verify against recomputed dot products
+    for row_ids, row_vals, q in zip(ids, vals, queries):
+        m = row_ids >= 0
+        np.testing.assert_allclose(row_vals[m], base[row_ids[m]] @ q, rtol=1e-2)

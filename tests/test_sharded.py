@@ -89,3 +89,20 @@ def test_sharded_ivf_more_shards_than_queries_probe(small_data, mesh):
     assert ((ids >= -1) & (ids < len(base))).all()
     # every valid id has a finite score
     assert np.isfinite(vals[ids >= 0]).all()
+
+
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+def test_sharded_cluster_major(small_data, mesh, metric):
+    """Per-shard cluster-major kernel + ownership-masked join must track
+    the exact single-chip search."""
+    base, queries = small_data
+    single = IVFIndex.build(base, nlist=16, metric=metric, seed=42, max_iter=10)
+    sharded = ShardedIVFIndex(single, mesh)
+    for nprobe in (4, 16):
+        ids_s, v_s, c_s = single.search(queries, k=10, nprobe=nprobe, mode="query")
+        ids_m, v_m, c_m = sharded.search(queries, k=10, nprobe=nprobe, mode="cluster")
+        assert c_s == c_m
+        assert recall_at_k(ids_m, ids_s, 10) >= 0.95
+        # rescored scores are exact for agreeing ids
+        agree = ids_m == ids_s
+        np.testing.assert_allclose(v_m[agree], v_s[agree], rtol=1e-4)
