@@ -273,6 +273,12 @@ class IVFIndex:
             self._search_cluster_major_impl,
             static_argnames=("k", "nprobe", "qcap", "engine", "rescore"),
         )
+        self._stream_jit = jax.jit(
+            lambda arrays, qq, k, nprobe, pc: jax.lax.map(
+                lambda q: self._search_impl(arrays, q, k, nprobe, pc), qq
+            ),
+            static_argnames=("k", "nprobe", "pc"),
+        )
 
     # ------------------------------------------------------------------ build
 
@@ -566,6 +572,18 @@ class IVFIndex:
             raise ValueError(f"unknown mode {mode!r}")
         pc = probe_chunk or self._auto_probe_chunk(b)
         return self._search_jit(self._arrays, queries, k, nprobe, pc)
+
+    def search_stream_device(
+        self, query_stream: jax.Array, k: int, nprobe: int,
+        probe_chunk: int | None = None,
+    ):
+        """Stream mode: one dispatch runs a stack of query-major searches
+        [M, B, D] → (scores [M,B,k], ids [M,B,k], n_candidates [M,B]) —
+        a serving queue drains M micro-batches per device call, amortizing
+        per-dispatch overhead (see BruteForceIndex.search_stream_device).
+        Cluster-major mode amortizes within one large batch instead."""
+        pc = probe_chunk or self._auto_probe_chunk(query_stream.shape[1])
+        return self._stream_jit(self._arrays, query_stream, k, nprobe, pc)
 
     def search(
         self,

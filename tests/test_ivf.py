@@ -92,3 +92,14 @@ def test_small_batch_padding(small_data, ivf_ip):
     ids_a, _, _ = ivf_ip.search(queries, k=5, nprobe=4)
     ids_b, _, _ = ivf_ip.search(queries, k=5, nprobe=4, batch_size=5)
     np.testing.assert_array_equal(ids_a, ids_b)
+
+
+def test_stream_mode_matches_query_major(small_data, ivf_ip):
+    import jax.numpy as jnp
+
+    _, queries = small_data
+    stream = jnp.asarray(queries[:32].reshape(4, 8, -1))
+    v_s, i_s, c_s = ivf_ip.search_stream_device(stream, k=5, nprobe=4)
+    ids, scores, _ = ivf_ip.search(queries[:32], k=5, nprobe=4, batch_size=8, mode="query")
+    np.testing.assert_array_equal(np.asarray(i_s).reshape(32, 5), ids)
+    np.testing.assert_allclose(np.asarray(v_s).reshape(32, 5), scores, rtol=1e-6)
