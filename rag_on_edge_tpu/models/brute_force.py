@@ -159,7 +159,9 @@ class BruteForceIndex:
         cand_ids: [B, k'] (k' ≥ k) from the quantized selection."""
         cand = arrays["base_f32"][cand_ids]  # [B, k', D]
         scores = jnp.einsum(
-            "bcd,bd->bc", cand, queries, preferred_element_type=jnp.float32
+            "bcd,bd->bc", cand, queries,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         if self.metric == "l2":
             scores = 2.0 * scores - arrays["rescore_norms"][cand_ids]

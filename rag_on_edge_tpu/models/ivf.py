@@ -267,8 +267,11 @@ class IVFIndex:
         self._arrays = arrays
 
         self._search_jit = jax.jit(
-            self._search_impl, static_argnames=("k", "nprobe", "probe_chunk")
+            self._search_impl, static_argnames=("k", "nprobe", "probe_chunk", "rescore")
         )
+        # Routing spill (dropped query-cluster pairs) of the most recent
+        # cluster-major search: a device scalar, no sync until read.
+        self.last_spill: jax.Array | None = None
         self._search_cm_jit = jax.jit(
             self._search_cluster_major_impl,
             static_argnames=("k", "nprobe", "qcap", "engine", "rescore"),
@@ -320,8 +323,26 @@ class IVFIndex:
 
     # ------------------------------------------------------------- search impl
 
-    def _search_impl(self, arrays, queries: jax.Array, k: int, nprobe: int, probe_chunk: int):
+    def _rescore_rows(self, arrays, queries, vals, rows, k):
+        """Exact fp32 re-ranking of candidate padded rows (tiny gather);
+        -inf (unfilled) slots stay -inf."""
+        safe = jnp.clip(rows, 0, arrays["vectors"].shape[0] - 1)
+        cand = arrays["vectors"][safe]  # [B, k', D]
+        scores = jnp.einsum(
+            "bcd,bd->bc", cand, queries.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if self.metric == "l2":
+            scores = 2.0 * scores - arrays["vector_norms"][safe]
+        scores = jnp.where(vals > _NEG_INF, scores, _NEG_INF)
+        best_v, sel = topk.small_topk(scores, k)
+        return best_v, jnp.take_along_axis(rows, sel, axis=1)
+
+    def _search_impl(self, arrays, queries: jax.Array, k: int, nprobe: int,
+                     probe_chunk: int, rescore: bool = False):
         """Returns (scores [B,k] f32, ids [B,k] i32, n_candidates [B] i32)."""
+        kk = min(2 * k, self.n) if rescore else k
         q = queries.astype(jnp.float32)
         nprobe = min(nprobe, self.nlist)
 
@@ -347,12 +368,14 @@ class IVFIndex:
             arrays.get("vector_norms"),
             p_offs,
             p_sizes,
-            k=k,
+            k=kk,
             probe_chunk=probe_chunk,
             metric=self.metric,
             max_cluster_size=self.max_cluster_size,
             compute_dtype=jnp.bfloat16 if self.dtype == "bf16" else None,
         )
+        if rescore:
+            best_v, best_i = self._rescore_rows(arrays, q, best_v, best_i, k)
 
         # Map reordered rows back to original ids (IVFIndex.cpp:778).
         ids = jnp.where(best_v > _NEG_INF, arrays["reorder"][best_i], -1)
@@ -491,18 +514,7 @@ class IVFIndex:
         best_v, sel = topk.small_topk(gv, kk)
         best_r = jnp.take_along_axis(gr, sel, axis=1)
         if rescore:
-            # Exact fp32 re-ranking of the kk candidates (tiny gather).
-            cand = arrays["vectors"][best_r]  # [B, kk, D]
-            scores = jnp.einsum(
-                "bcd,bd->bc", cand, queries.astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            if self.metric == "l2":
-                scores = 2.0 * scores - arrays["vector_norms"][best_r]
-            scores = jnp.where(best_v > _NEG_INF, scores, _NEG_INF)
-            best_v, sel2 = topk.small_topk(scores, k)
-            best_r = jnp.take_along_axis(best_r, sel2, axis=1)
+            best_v, best_r = self._rescore_rows(arrays, queries, best_v, best_r, k)
         else:
             best_v, best_r = best_v[:, :k], best_r[:, :k]
         ids = jnp.where(best_v > _NEG_INF, arrays["reorder"][best_r], -1)
@@ -563,15 +575,16 @@ class IVFIndex:
         if mode == "cluster":
             if engine == "pallas":
                 self._ensure_kernel_state()
-            vals, ids, ncand, _spill = self._search_cm_jit(
+            vals, ids, ncand, spill = self._search_cm_jit(
                 self._arrays, queries, k, nprobe,
                 qcap or self._auto_qcap(b, nprobe), engine, rescore
             )
+            self.last_spill = spill
             return vals, ids, ncand
         if mode != "query":
             raise ValueError(f"unknown mode {mode!r}")
         pc = probe_chunk or self._auto_probe_chunk(b)
-        return self._search_jit(self._arrays, queries, k, nprobe, pc)
+        return self._search_jit(self._arrays, queries, k, nprobe, pc, rescore)
 
     def search_stream_device(
         self, query_stream: jax.Array, k: int, nprobe: int,
@@ -593,6 +606,7 @@ class IVFIndex:
         batch_size: int | None = None,
         mode: str = "auto",
         engine: str = "pallas",
+        rescore: bool | None = None,
     ):
         """Host API → (ids [Q,k] i32, scores [Q,k] f32, avg_candidates float)."""
         queries = np.asarray(queries, dtype=np.float32)
@@ -607,7 +621,7 @@ class IVFIndex:
             if pad:
                 chunk = np.pad(chunk, ((0, pad), (0, 0)))
             vals, ids, ncand = self.search_device(
-                jnp.asarray(chunk), k, nprobe, mode=mode, engine=engine
+                jnp.asarray(chunk), k, nprobe, mode=mode, engine=engine, rescore=rescore
             )
             got = bs - pad
             ids_out[start : start + got] = np.asarray(ids)[:got]

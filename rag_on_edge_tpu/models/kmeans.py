@@ -35,8 +35,12 @@ def assign_clusters(x: jax.Array, centroids: jax.Array, chunk: int = 131_072) ->
     c_norms = jnp.sum(centroids * centroids, axis=1)
 
     def one_chunk(xc):
+        # HIGHEST: assignment is a ranking; the TPU default single-bf16-pass
+        # matmul flips near-tie centroid choices vs the CPU result.
         dots = jax.lax.dot_general(
-            xc, centroids, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            xc, centroids, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         # argmin over ‖x‖² - 2x·c + ‖c‖²; the ‖x‖² term is row-constant.
         return jnp.argmin(c_norms[None, :] - 2.0 * dots, axis=1).astype(jnp.int32)

@@ -47,7 +47,7 @@ def build_block_tables(offsets: np.ndarray, sizes: np.ndarray, blk: int):
     each block, 0..blk).
     """
     nlist = len(sizes)
-    n_padded = int(offsets[-1] + -(-max(int(sizes[-1]), 1) // blk) * blk) if nlist else 0
+    n_padded = int(offsets[-1] + -(-int(sizes[-1]) // blk) * blk) if nlist else 0
     nblocks = n_padded // blk
     block_cluster = np.zeros(nblocks, np.int32)
     first = np.zeros(nblocks, np.int32)
@@ -55,12 +55,17 @@ def build_block_tables(offsets: np.ndarray, sizes: np.ndarray, blk: int):
     rows_valid = np.zeros(nblocks, np.int32)
     for c in range(nlist):
         b0 = int(offsets[c]) // blk
-        nb = max(1, -(-int(sizes[c]) // blk))
+        nb = -(-int(sizes[c]) // blk)
+        if nb == 0:
+            # Empty clusters occupy zero rows and get zero blocks; their
+            # (unwritten) output rows are excluded by the join's
+            # sizes>0 mask.
+            continue
         block_cluster[b0 : b0 + nb] = c
         first[b0] = 1
         last[b0 + nb - 1] = 1
         for j in range(nb):
-            rows_valid[b0 + j] = min(blk, max(0, int(sizes[c]) - j * blk))
+            rows_valid[b0 + j] = min(blk, int(sizes[c]) - j * blk)
     return block_cluster, first, last, rows_valid
 
 

@@ -256,6 +256,7 @@ class ShardedIVFIndex:
 
         self._src_index = index  # host-side arrays reused for lazy layouts
         self._cm_arrays: dict | None = None
+        self.last_spill = None  # routing spill of the last cluster-major call
         self._search_jit = jax.jit(
             self._make_sharded_fn(), static_argnames=("k", "nprobe", "probe_chunk")
         )
@@ -366,7 +367,7 @@ class ShardedIVFIndex:
                 base_norms=c_norms if coarse_metric == "l2" else None,
             )
             _, probes = topk_ops.small_topk(coarse, min(nprobe, nlist))
-            cq, slot, _spill = invert_probes(probes, nlist, qcap)
+            cq, slot, spill = invert_probes(probes, nlist, qcap)
             ncand = jnp.sum(sizes[probes], axis=1).astype(jnp.int32)
             qg = q[jnp.clip(cq, 0)]
             qg = jnp.where((cq >= 0)[..., None], qg, 0.0)
@@ -406,7 +407,7 @@ class ShardedIVFIndex:
             ids = jnp.where(best_v > _NEG_INF, reorder[jnp.clip(best_r, 0, vecs.shape[0] - 1)], -1)
 
             out_v, out_i = _gather_merge(best_v, ids.astype(jnp.int32), k, axis)
-            return out_v, out_i, ncand
+            return out_v, out_i, ncand, spill[None]
 
         in_specs = (
             P(None, None),  # queries
@@ -426,7 +427,7 @@ class ShardedIVFIndex:
             body = functools.partial(shard_body, k=k, nprobe=nprobe, qcap=qcap)
             return jax.shard_map(
                 body, mesh=self.mesh, in_specs=in_specs,
-                out_specs=(P(None, None), P(None, None), P(None)),
+                out_specs=(P(None, None), P(None, None), P(None), P(None)),
                 check_vma=False,
             )(q, cents, c_norms, vecs_t, vecs, reorder, bc, bf, bl, rv,
               cluster_shard, sizes, v_norms)
@@ -494,16 +495,11 @@ class ShardedIVFIndex:
 
         return fn
 
-    def _auto_probe_chunk(self, batch: int, budget_bytes: int = 256 << 20) -> int:
-        bytes_per_probe = batch * self.max_cluster_size * self.dim * (
-            2 if self.dtype == "bf16" else 4
-        )
-        return max(1, budget_bytes // max(bytes_per_probe, 1))
+    def _auto_probe_chunk(self, batch: int) -> int:
+        return self._src_index._auto_probe_chunk(batch)
 
-    def _auto_qcap(self, batch: int, nprobe: int, capacity_factor: float = 8.0) -> int:
-        mean_load = batch * min(nprobe, self.nlist) / self.nlist
-        cap = int(-(-capacity_factor * mean_load // 128) * 128)
-        return max(128, min(batch, 256, cap))
+    def _auto_qcap(self, batch: int, nprobe: int) -> int:
+        return self._src_index._auto_qcap(batch, nprobe)
 
     def search_device(self, queries, k: int, nprobe: int, probe_chunk: int | None = None,
                       mode: str = "query", qcap: int | None = None):
@@ -514,13 +510,15 @@ class ShardedIVFIndex:
         if mode == "cluster":
             self._ensure_cluster_state()
             a = self._cm_arrays
-            return self._search_cm_jit(
+            vals, ids, ncand, spill = self._search_cm_jit(
                 queries, self._centroids, c_norms,
                 a["vectors_t"], a["vectors"], a["reorder"],
                 a["bc"], a["bf"], a["bl"], a["rv"],
                 a["cluster_shard"], a["sizes"], a["vector_norms"],
                 k, nprobe, qcap or self._auto_qcap(queries.shape[0], nprobe),
             )
+            self.last_spill = spill[0]
+            return vals, ids, ncand
         pc = probe_chunk or self._auto_probe_chunk(queries.shape[0])
         v_norms = self._vector_norms if self.metric == "l2" else jnp.zeros(())
         return self._search_jit(

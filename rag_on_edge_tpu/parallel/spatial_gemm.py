@@ -25,6 +25,8 @@ positions above the same 2³⁰ element-count threshold (``test.cpp:49-50``).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -60,6 +62,17 @@ def spatial_matmul(a: jax.Array, b: jax.Array, mesh: Mesh, use_pallas_kernel: bo
         raise ValueError(f"M={m} must divide mesh rows={rows}, N={n} cols={cols}")
     acc = jnp.int32 if a.dtype == jnp.int8 else jnp.float32
 
+    a = jax.device_put(a, NamedSharding(mesh, P("row", None)))
+    b = jax.device_put(b, NamedSharding(mesh, P(None, "col")))
+    return _spatial_fn(mesh, use_pallas_kernel, str(acc.__name__))(a, b)
+
+
+@functools.lru_cache(maxsize=None)
+def _spatial_fn(mesh: Mesh, use_pallas_kernel: bool, acc_name: str):
+    """One cached jitted shard_map per (mesh, kernel, accumulator) — a fresh
+    jax.jit per call would recompile every time."""
+    acc = jnp.int32 if acc_name == "int32" else jnp.float32
+
     def local_mm(a_blk, b_blk):
         if use_pallas_kernel:
             from rag_on_edge_tpu.ops.pallas_matmul import tiled_matmul
@@ -69,9 +82,7 @@ def spatial_matmul(a: jax.Array, b: jax.Array, mesh: Mesh, use_pallas_kernel: bo
             a_blk, b_blk, (((1,), (0,)), ((), ())), preferred_element_type=acc
         )
 
-    a = jax.device_put(a, NamedSharding(mesh, P("row", None)))
-    b = jax.device_put(b, NamedSharding(mesh, P(None, "col")))
-    fn = jax.jit(
+    return jax.jit(
         jax.shard_map(
             local_mm,
             mesh=mesh,
@@ -80,7 +91,6 @@ def spatial_matmul(a: jax.Array, b: jax.Array, mesh: Mesh, use_pallas_kernel: bo
             check_vma=False,
         )
     )
-    return fn(a, b)
 
 
 def verify_matmul(a: np.ndarray, b: np.ndarray, c: np.ndarray, seed: int = 0,
