@@ -34,16 +34,21 @@ __all__ = ["build_or_load_index", "run", "main"]
 
 
 def build_or_load_index(
-    ds, nlist: int | None, metric: str, dtype: str, seed: int = 42, cache_root: str | None = None
+    ds, nlist: int | None, metric: str, dtype: str, seed: int = 42,
+    cache_root: str | None = None, pad_block: int | None = None,
 ) -> IVFIndex:
     """Index persistence as compiled-artifact cache (regenerate only if
     missing), mirroring ``run_all_ivf.sh:72-94``."""
     nlist = default_nlist(ds.base.shape[0], nlist)
     cache_root = cache_root or DEFAULT_DATA_ROOT
-    cache = os.path.join(cache_root, ds.name, f"ivf_nlist{nlist}_{metric}_{dtype}_seed{seed}")
+    pb_tag = f"_pb{pad_block}" if pad_block else ""
+    cache = os.path.join(
+        cache_root, ds.name, f"ivf_nlist{nlist}_{metric}_{dtype}_seed{seed}{pb_tag}"
+    )
     if os.path.exists(os.path.join(cache, "ivf_config.json")):
         return IVFIndex.load(cache)
     index = IVFIndex.build(ds.base, nlist=nlist, metric=metric, dtype=dtype, seed=seed,
+                           pad_block=pad_block,
                            max_iter=25 if ds.base.shape[0] > 200_000 else 100)
     index.save(cache)
     return index
@@ -62,6 +67,7 @@ def run(
     outdir: str | None = None,
     quiet: bool = False,
     max_queries: int | None = None,
+    pad_block: int | None = None,
 ) -> list[dict]:
     ds = load_dataset(dataset, gt_k=max(k, 10))
     if max_queries:
@@ -69,7 +75,7 @@ def run(
         ds.ground_truth_ip = ds.ground_truth_ip[:max_queries]
         ds.ground_truth_l2 = ds.ground_truth_l2[:max_queries]
     t0 = time.perf_counter()
-    index = build_or_load_index(ds, nlist, metric, dtype)
+    index = build_or_load_index(ds, nlist, metric, dtype, pad_block=pad_block)
     build_s = time.perf_counter() - t0
     gt = ds.gt(metric)
     n = ds.base.shape[0]
@@ -191,9 +197,11 @@ def main(argv=None) -> None:
     p.add_argument("--nprobe", type=int, nargs="+", default=[8, 16, 32, 64])
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--batch", type=int, default=32)
-    p.add_argument("--dtype", default="fp32", choices=["fp32", "bf16"])
+    p.add_argument("--dtype", default="fp32", choices=["fp32", "bf16", "int8"])
     p.add_argument("--metric", default="ip", choices=["ip", "l2"])
     p.add_argument("--mode", default="auto", choices=["auto", "query", "cluster"])
+    p.add_argument("--pad-block", type=int, default=None,
+                   help="device slab block rows (e.g. 2048 for 1M cluster-major)")
     p.add_argument("--max-queries", type=int, default=None)
     p.add_argument("--repeats", type=int, default=10)
     p.add_argument("--outdir", default="results")
@@ -203,7 +211,7 @@ def main(argv=None) -> None:
         dataset=args.dataset, nlist=args.nlist, nprobes=tuple(args.nprobe),
         k=args.k, batch=args.batch, dtype=args.dtype, metric=args.metric,
         mode=args.mode, repeats=args.repeats, outdir=args.outdir,
-        quiet=args.json, max_queries=args.max_queries,
+        quiet=args.json, max_queries=args.max_queries, pad_block=args.pad_block,
     )
     if args.json:
         for r in rows:

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rag_on_edge_tpu.models import kmeans as kmeans_mod
-from rag_on_edge_tpu.ops import distances, topk
+from rag_on_edge_tpu.ops import distances, quantize, topk
 from rag_on_edge_tpu.ops import pallas_ivf
 
 __all__ = ["IVFIndex", "fine_scan", "invert_probes"]
@@ -175,7 +175,7 @@ class IVFIndex:
       by nprobe/nlist vs brute force.
     """
 
-    PAD_BLOCK = 512  # cluster slabs padded to this row multiple on device
+    PAD_BLOCK_DEFAULT = 512  # cluster slabs padded to this row multiple
 
     def __init__(
         self,
@@ -186,14 +186,17 @@ class IVFIndex:
         metric: str = "ip",
         dtype: str = "fp32",
         coarse_metric: str = "l2",
+        pad_block: int | None = None,
         config: dict | None = None,
     ):
         if metric not in ("ip", "l2"):
             raise ValueError(f"unknown metric {metric!r}")
         if coarse_metric not in ("ip", "l2"):
             raise ValueError(f"unknown coarse_metric {coarse_metric!r}")
-        if dtype not in ("fp32", "bf16"):
-            raise ValueError(f"unknown dtype {dtype!r} (fine scan supports fp32/bf16)")
+        if dtype not in ("fp32", "bf16", "int8"):
+            raise ValueError(
+                f"unknown dtype {dtype!r} (fine scan supports fp32/bf16/int8)"
+            )
         self.metric = metric
         # Cluster probing ranks centroids by L2 by default, independent of
         # the fine ranking metric: k-means partitions space into Voronoi
@@ -209,6 +212,14 @@ class IVFIndex:
         self.n, self.dim = vectors_reordered.shape
         sizes = np.diff(cluster_offsets).astype(np.int32)
         self.max_cluster_size = int(sizes.max())
+        # Block size of the padded device layout.  Bigger blocks cost
+        # padding rows (scanned then masked) but amortize the cluster-major
+        # kernel's per-block fixed cost, which dominates on the relay
+        # (measured on SIFT-1M int8 B=2048 nprobe=4: 512→92K, 1024→116K,
+        # 2048→129K QPS); default 512 keeps small datasets lean — pass
+        # pad_block=2048 for 1M-scale cluster-major serving.
+        self.PAD_BLOCK = int(pad_block or (config or {}).get("pad_block")
+                             or self.PAD_BLOCK_DEFAULT)
         self.max_cluster_padded = int(-(-self.max_cluster_size // self.PAD_BLOCK) * self.PAD_BLOCK)
         self.config = config or {}
         self.config.update(
@@ -220,6 +231,7 @@ class IVFIndex:
                 "metric": metric,
                 "coarse_metric": coarse_metric,
                 "dtype": dtype,
+                "pad_block": self.PAD_BLOCK,
                 "cluster_size_min": int(sizes.min()),
                 "cluster_size_avg": float(sizes.mean()),
                 "cluster_size_max": int(sizes.max()),
@@ -293,6 +305,7 @@ class IVFIndex:
         metric: str = "ip",
         dtype: str = "fp32",
         coarse_metric: str = "l2",
+        pad_block: int | None = None,
         seed: int = 42,
         max_iter: int = 100,
     ) -> "IVFIndex":
@@ -318,6 +331,7 @@ class IVFIndex:
             metric=metric,
             dtype=dtype,
             coarse_metric=coarse_metric,
+            pad_block=pad_block,
             config={"seed": seed, "kmeans_max_iter": max_iter},
         )
 
@@ -388,15 +402,26 @@ class IVFIndex:
             return
         blk = self.PAD_BLOCK
         vec_t = np.asarray(self._arrays["vectors"], dtype=np.float32).T.copy()
-        if self.metric == "l2":
-            # L2 via augmentation: b' = [b, -‖b‖²/2]; queries get a ones
-            # column; the kernel stays metric-free (scores are l2_score/2).
-            vec_t = np.concatenate(
-                [vec_t, -0.5 * np.sum(vec_t * vec_t, axis=0, keepdims=True)], axis=0
+        if self.dtype == "int8":
+            # Symmetric per-tensor int8 (ops/quantize.py convention): the
+            # slab read halves vs bf16 on the HBM-bound scan; L2 rides a
+            # bias column at search time instead of the augmentation row
+            # (whose magnitude D·127²/2 cannot live in int8).
+            sb = max(float(np.abs(vec_t).max()), 1e-12) / 127.0
+            self._base_scale = sb
+            self._arrays["vectors_t"] = jnp.asarray(
+                np.clip(np.round(vec_t / sb), -127, 127).astype(np.int8)
             )
-        self._arrays["vectors_t"] = jnp.asarray(
-            vec_t.astype(np.float32 if self.dtype == "fp32" else jnp.bfloat16)
-        )
+        else:
+            if self.metric == "l2":
+                # L2 via augmentation: b' = [b, -‖b‖²/2]; queries get a ones
+                # column; the kernel stays metric-free (scores are l2_score/2).
+                vec_t = np.concatenate(
+                    [vec_t, -0.5 * np.sum(vec_t * vec_t, axis=0, keepdims=True)], axis=0
+                )
+            self._arrays["vectors_t"] = jnp.asarray(
+                vec_t.astype(np.float32 if self.dtype == "fp32" else jnp.bfloat16)
+            )
         bc, bf, bl, rv = pallas_ivf.build_block_tables(
             np.asarray(self._arrays["offsets"]), np.asarray(self._arrays["sizes"]), blk
         )
@@ -431,16 +456,33 @@ class IVFIndex:
         # STAGE 2 — invert the probe map (MoE-style dispatch) and gather
         # each cluster's probing queries into a dense [nlist, qcap, D].
         cq, slot, spill = invert_probes(probes, self.nlist, qcap)
-        qg = q[jnp.clip(cq, 0)]  # [nlist, qcap, D]
-        qg = jnp.where((cq >= 0)[..., None], qg, 0.0).astype(arrays["vectors"].dtype)
+        routed = (cq >= 0)[..., None]
 
         # STAGE 3 — score each cluster's slab against its routed queries.
         if engine == "pallas":
-            qk = qg
-            if self.metric == "l2":
-                ones = jnp.where((cq >= 0)[..., None], 1.0, 0.0)
-                qk = jnp.concatenate([qg.astype(jnp.float32), ones], axis=-1)
-            qk = qk.astype(arrays["vectors_t"].dtype)
+            if self.dtype == "int8":
+                # Symmetric int8 queries (per-batch scale, gathered AFTER
+                # quantization — the routed table is 8x smaller than fp32).
+                sq = quantize.calibrate_scale(q)
+                qi = jnp.clip(jnp.round(q / sq), -127, 127).astype(jnp.int8)
+                qk = jnp.where(routed, qi[jnp.clip(cq, 0)], jnp.int8(0))
+                alpha = sq * jnp.float32(self._base_scale)
+                bias = None
+                if self.metric == "l2":
+                    # l2 = 2·sq·sb·dots − ‖b‖²; per-row ranking is invariant
+                    # to the positive 2·sq·sb, so fold norms into a bias
+                    # column and rescale the selected values afterwards.
+                    alpha = 2.0 * alpha
+                    bias = (arrays["vector_norms"] / alpha)[None, :]
+            else:
+                qg = q[jnp.clip(cq, 0)]  # [nlist, qcap, D]
+                qg = jnp.where(routed, qg, 0.0)
+                alpha, bias = None, None
+                qk = qg
+                if self.metric == "l2":
+                    ones = jnp.where(routed, 1.0, 0.0)
+                    qk = jnp.concatenate([qg, ones], axis=-1)
+                qk = qk.astype(arrays["vectors_t"].dtype)
             pv, pr = pallas_ivf.cluster_major_scan(
                 qk,
                 arrays["vectors_t"],
@@ -450,8 +492,11 @@ class IVFIndex:
                 arrays["rows_valid"],
                 k=kk,
                 blk=self.PAD_BLOCK,
+                bias=bias,
             )
-            if self.metric == "l2":
+            if alpha is not None:
+                pv = alpha * pv  # back to true-score units (−inf stays −inf)
+            elif self.metric == "l2":
                 pv = 2.0 * pv  # augmented scores are l2_score/2
             return self._cm_finish(
                 arrays, queries, probes, slot, pv, pr, k, kk, rescore,
@@ -459,6 +504,8 @@ class IVFIndex:
             )
 
         # XLA fallback: lax.scan over clusters with max-size dynamic slices.
+        # Always scans the fp32 slabs (int8 is a pallas-engine layout).
+        qg = jnp.where(routed, q[jnp.clip(cq, 0)], 0.0)
         arange_s = jnp.arange(smax, dtype=jnp.int32)
 
         vectors = arrays["vectors"]
@@ -571,7 +618,9 @@ class IVFIndex:
         if mode == "auto":
             mode = self._pick_mode(b, nprobe)
         if rescore is None:
-            rescore = self.dtype == "bf16" or (mode == "cluster" and engine == "pallas")
+            rescore = self.dtype in ("bf16", "int8") or (
+                mode == "cluster" and engine == "pallas"
+            )
         if mode == "cluster":
             if engine == "pallas":
                 self._ensure_kernel_state()

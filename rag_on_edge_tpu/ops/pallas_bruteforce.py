@@ -108,10 +108,17 @@ def binned_top2(sc_ref, row0, tile_w, nbins, fill):
     )
 
 
-def _kernel(q_ref, base_ref, out_vals_ref, out_ids_ref, sv_ref, si_ref, sc_ref,
-            *, k, n, tile_n, acc_dtype, nbins):
-    i = pl.program_id(0)
-    n_tiles = pl.num_programs(0)
+def _kernel(q_ref, base_ref, *rest, k, n, tile_n, acc_dtype, nbins, dyn_n):
+    if dyn_n:
+        nv_ref, out_vals_ref, out_ids_ref, sv_ref, si_ref, sc_ref = rest
+    else:
+        nv_ref = None
+        out_vals_ref, out_ids_ref, sv_ref, si_ref, sc_ref = rest
+    # grid = (B blocks, N tiles), N innermost: each query block walks every
+    # base tile consecutively, so the running top-k scratch is private to
+    # the current block and VMEM pressure is set by tile_b — not B.
+    i = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
     fill = jnp.iinfo(acc_dtype).min if jnp.issubdtype(acc_dtype, jnp.integer) else acc_dtype(-jnp.inf)
 
     @pl.when(i == 0)
@@ -131,8 +138,10 @@ def _kernel(q_ref, base_ref, out_vals_ref, out_ids_ref, sv_ref, si_ref, sc_ref,
     b = scores.shape[0]
     local_cols = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
     global_cols = local_cols + i * tile_n
-    # Mask the zero-padded tail of the last tile.
-    scores = jnp.where(global_cols < n, scores, fill)
+    # Mask the zero-padded tail of the last tile (dynamic bound when the
+    # caller's valid-row count isn't static, e.g. per-shard tails).
+    n_bound = nv_ref[0] if dyn_n else n
+    scores = jnp.where(global_cols < n_bound, scores, fill)
     if nbins:
         sc_ref[:] = scores  # staged for ref-slice binning
 
@@ -166,13 +175,17 @@ def _kernel(q_ref, base_ref, out_vals_ref, out_ids_ref, sv_ref, si_ref, sc_ref,
         out_ids_ref[:] = si_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile_n", "nbins", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_n", "tile_b", "nbins", "interpret")
+)
 def fused_topk_matmul(
     queries: jax.Array,
     base_t: jax.Array,
     k: int,
     tile_n: int | None = None,
+    tile_b: int | None = None,
     nbins: int = 0,
+    n_valid: jax.Array | None = None,
     interpret: bool | None = None,
 ):
     """Fused top-k inner-product search.
@@ -180,13 +193,19 @@ def fused_topk_matmul(
     queries: [B, D] — int8 or float (must match base's dtype family).
     base_t:  [D, N] — the **transposed** database; int8 (int32
              accumulation) or fp32/bf16 (f32 accumulation).
+    n_valid: optional [1] int32 — dynamic count of valid leading columns
+             (≤ N); the rest are masked.  For callers whose valid count
+             isn't static, e.g. the padded tail shard of a sharded base.
+    tile_b:  query-block rows (default ≤256): large batches are gridded
+             over query blocks so the score tile stays wide — without
+             this, tile_n ∝ 1/B collapses GEMM efficiency at B ≥ 1024.
     nbins:   0 → exact per-tile selection (k max-and-mask passes);
              >0 (e.g. 128) → top-2-per-bin partial reduction per tile —
              approximate, far cheaper for large B·k, pair with a k' > k
              candidate pool + rescoring.
     Returns (vals [B, k] acc_dtype, ids [B, k] int32), best first, ties to
     the lowest id.  Requires N ≥ k.  N is padded internally to a tile
-    multiple; B is padded to the sublane quantum.
+    multiple; B is padded to a tile_b multiple.
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -201,13 +220,16 @@ def fused_topk_matmul(
     if int_path and queries.dtype != jnp.int8:
         raise ValueError("int8 base requires int8 queries")
 
-    pad_b = (-b) % (32 if int_path else 8)
+    if tile_b is None:
+        tile_b = min(-(-b // (32 if int_path else 8)) * (32 if int_path else 8), 256)
+    pad_b = (-b) % tile_b
     if pad_b:
         queries = jnp.pad(queries, ((0, pad_b), (0, 0)))
     bp = b + pad_b
+    b_tiles = bp // tile_b
 
     if tile_n is None:
-        tile_n = auto_tile_n(bp, n, 4)
+        tile_n = auto_tile_n(tile_b, n, 4)
     if nbins and tile_n % nbins:
         raise ValueError(f"tile_n={tile_n} must be a multiple of nbins={nbins}")
     pad_n = (-n) % tile_n
@@ -215,34 +237,41 @@ def fused_topk_matmul(
         base_t = jnp.pad(base_t, ((0, 0), (0, pad_n)))
     n_tiles = (n + pad_n) // tile_n
 
+    in_specs = [
+        pl.BlockSpec((tile_b, d), lambda ib, i: (ib, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, tile_n), lambda ib, i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    inputs = [queries, base_t]
+    if n_valid is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(n_valid.astype(jnp.int32).reshape(1))
+
     kernel = functools.partial(
-        _kernel, k=k, n=n, tile_n=tile_n, acc_dtype=acc_dtype, nbins=nbins
+        _kernel, k=k, n=n, tile_n=tile_n, acc_dtype=acc_dtype, nbins=nbins,
+        dyn_n=n_valid is not None,
     )
     vals, ids = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((bp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
+        grid=(b_tiles, n_tiles),
+        in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((bp, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bp, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, k), lambda ib, i: (ib, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, k), lambda ib, i: (ib, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bp, k), acc_dtype),
             jax.ShapeDtypeStruct((bp, k), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bp, k), acc_dtype),
-            pltpu.VMEM((bp, k), jnp.int32),
-            pltpu.VMEM((bp, tile_n if nbins else 8), acc_dtype),
+            pltpu.VMEM((tile_b, k), acc_dtype),
+            pltpu.VMEM((tile_b, k), jnp.int32),
+            pltpu.VMEM((tile_b, tile_n if nbins else 8), acc_dtype),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * bp * d * (n + pad_n),
-            bytes_accessed=(n + pad_n) * d * base_t.dtype.itemsize + bp * d,
+            bytes_accessed=b_tiles * (n + pad_n) * d * base_t.dtype.itemsize + bp * d,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(queries, base_t)
+    )(*inputs)
     return vals[:b], ids[:b]

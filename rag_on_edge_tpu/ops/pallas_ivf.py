@@ -72,14 +72,15 @@ def build_block_tables(offsets: np.ndarray, sizes: np.ndarray, blk: int):
 def _kernel(
     # scalar prefetch
     block_cluster, block_first, block_last, rows_valid,
-    # inputs
-    q_ref, vec_ref,
-    # outputs
-    out_v_ref, out_i_ref,
-    # scratch
-    sv_ref, si_ref, sc_ref,
-    *, k, blk, nbins,
+    # inputs: q_ref, vec_ref, [bias_ref], then outputs and scratch
+    q_ref, vec_ref, *rest,
+    k, blk, nbins, has_bias,
 ):
+    if has_bias:
+        bias_ref, out_v_ref, out_i_ref, sv_ref, si_ref, sc_ref = rest
+    else:
+        bias_ref = None
+        out_v_ref, out_i_ref, sv_ref, si_ref, sc_ref = rest
     j = pl.program_id(0)
     fill = jnp.float32(_NEG_INF)
 
@@ -89,11 +90,17 @@ def _kernel(
         si_ref[:] = jnp.zeros_like(si_ref)
 
     qg = q_ref[0]  # [qcap, D']
+    int_path = qg.dtype == jnp.int8
     scores = jax.lax.dot_general(
         qg, vec_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.int32 if int_path else jnp.float32,
         precision=jax.lax.Precision.HIGHEST if qg.dtype == jnp.float32 else None,
     )  # [qcap, BLK]
+    if int_path:
+        # int32 dots are ≤ D·127² (< 2²⁴ for D ≤ 1024): exact in f32.
+        scores = scores.astype(jnp.float32)
+    if bias_ref is not None:
+        scores = scores - bias_ref[:]  # [1, BLK] broadcast
     qcap = scores.shape[0]
     cols = jax.lax.broadcasted_iota(jnp.int32, (qcap, blk), 1)
     scores = jnp.where(cols < rows_valid[j], scores, fill)
@@ -134,14 +141,21 @@ def cluster_major_scan(
     k: int,
     blk: int = 512,
     nbins: int = 128,
+    bias: jax.Array | None = None,
     interpret: bool | None = None,
 ):
     """Inner-product fine-scan of every cluster against its routed queries.
 
     qg:        [nlist, qcap, D'] routed queries (zeros for empty slots;
-               D' may include an L2 augmentation column).
-    vectors_t: [D', Npad] transposed block-padded database.
+               D' may include an L2 augmentation column).  int8 queries
+               select the int8 MXU path (int32 accumulate → f32 scores) and
+               require int8 ``vectors_t``.
+    vectors_t: [D', Npad] transposed block-padded database (f32/bf16/int8).
     block_*:   tables from :func:`build_block_tables`.
+    bias:      optional [1, Npad] f32 subtracted from each score column —
+               the int8 L2 path passes ``‖b‖² / (2·sq·sb)`` here so the
+               kernel needs no quantization scales (per-row ranking is
+               invariant to the positive factor 2·sq·sb).
     Returns (pv [nlist, qcap, k] f32, pr [nlist, qcap, k] i32 — global row
     ids into the padded layout).  Slots not recorded by the probe
     inversion carry garbage; the join must not read them.
@@ -150,21 +164,33 @@ def cluster_major_scan(
         interpret = jax.default_backend() == "cpu"
     if blk % nbins:
         raise ValueError(f"blk={blk} must be a multiple of nbins={nbins}")
+    if (vectors_t.dtype == jnp.int8) != (qg.dtype == jnp.int8):
+        raise ValueError("int8 path requires BOTH qg and vectors_t int8")
     nlist, qcap, d = qg.shape
     nblocks = vectors_t.shape[1] // blk
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, qcap, d), lambda j, bc, bf, bl, rv: (bc[j], 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (d, blk), lambda j, bc, bf, bl, rv: (0, j), memory_space=pltpu.VMEM
+        ),
+    ]
+    inputs = [qg, vectors_t]
+    if bias is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, blk), lambda j, bc, bf, bl, rv: (0, j), memory_space=pltpu.VMEM
+            )
+        )
+        inputs.append(bias)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, qcap, d), lambda j, bc, bf, bl, rv: (bc[j], 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (d, blk), lambda j, bc, bf, bl, rv: (0, j), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
                 (1, qcap, k), lambda j, bc, bf, bl, rv: (bc[j], 0, 0),
@@ -181,7 +207,9 @@ def cluster_major_scan(
             pltpu.VMEM((qcap, blk), jnp.float32),
         ],
     )
-    kernel = functools.partial(_kernel, k=k, blk=blk, nbins=nbins)
+    kernel = functools.partial(
+        _kernel, k=k, blk=blk, nbins=nbins, has_bias=bias is not None
+    )
     pv, pr = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -196,5 +224,5 @@ def cluster_major_scan(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(block_cluster, block_first, block_last, rows_valid, qg, vectors_t)
+    )(block_cluster, block_first, block_last, rows_valid, *inputs)
     return pv, pr

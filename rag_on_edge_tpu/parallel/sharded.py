@@ -32,6 +32,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from rag_on_edge_tpu.models.ivf import IVFIndex, fine_scan
 from rag_on_edge_tpu.ops import distances, quantize, topk
+from rag_on_edge_tpu.ops.pallas_bruteforce import fused_topk_matmul
 
 __all__ = ["ShardedBruteForceIndex", "ShardedIVFIndex"]
 
@@ -53,6 +54,14 @@ class ShardedBruteForceIndex:
 
     dtype "fp32" | "bf16" | "int8" — int8 uses one global base scale so raw
     int32 scores are comparable across shards before the merge.
+
+    engine "pallas" (default — each shard runs the fused streaming
+    GEMM+top-k kernel over its base columns; the [B, N/S] score tile never
+    reaches HBM) or "xla" (score GEMM + separate selection).
+
+    rescore: quantized paths (int8/bf16) select 2k candidates per shard and
+    re-rank them against a local fp32 copy before the cross-shard merge —
+    local candidates are local rows, so rescoring needs no collective.
     """
 
     def __init__(
@@ -61,6 +70,8 @@ class ShardedBruteForceIndex:
         mesh: jax.sharding.Mesh,
         metric: str = "ip",
         dtype: str = "bf16",
+        engine: str = "pallas",
+        rescore: bool = False,
     ):
         if metric not in ("ip", "l2"):
             raise ValueError(f"unknown metric {metric!r}")
@@ -68,37 +79,65 @@ class ShardedBruteForceIndex:
             raise ValueError(f"unknown dtype {dtype!r}")
         if dtype == "int8" and metric != "ip":
             raise ValueError("int8 path supports metric='ip' only")
+        if engine not in ("xla", "pallas"):
+            raise ValueError(f"unknown engine {engine!r}")
         self.metric = metric
         self.dtype = dtype
+        self.engine = engine
+        self.rescore = rescore and dtype != "fp32"
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.n_shards = mesh.devices.size
         self.n, self.dim = base.shape
 
-        # Pad N to a shard multiple; padded rows are masked by global index.
+        # Pad N to a shard multiple; padded rows are masked by global index
+        # (xla engine) or the kernel's dynamic n_valid bound (pallas).
         self.rows_per_shard = -(-self.n // self.n_shards)
         pad = self.rows_per_shard * self.n_shards - self.n
         base_f32 = np.asarray(base, dtype=np.float32)
         base_padded = np.pad(base_f32, ((0, pad), (0, 0)))
 
         shard_spec = NamedSharding(mesh, P(self.axis, None))
+        col_spec = NamedSharding(mesh, P(None, self.axis))
+        norms = np.sum(base_padded.astype(np.float32) ** 2, axis=1)
         if dtype == "int8":
             self._base_scale = jnp.asarray(
                 np.float32(max(np.abs(base_f32).max(), 1e-12) / 127.0)
             )
-            q = np.clip(np.round(base_padded / float(self._base_scale)), -127, 127)
-            self._base = jax.device_put(q.astype(np.int8), shard_spec)
+            qv = np.clip(np.round(base_padded / float(self._base_scale)), -127, 127)
+            qv = qv.astype(np.int8)
+            self._base = jax.device_put(
+                qv.T.copy() if engine == "pallas" else qv,
+                col_spec if engine == "pallas" else shard_spec,
+            )
         else:
-            arr = jnp.asarray(base_padded)
-            if dtype == "bf16":
-                arr = arr.astype(jnp.bfloat16)
-            self._base = jax.device_put(arr, shard_spec)
             self._base_scale = None
-        if metric == "l2":
-            norms = np.sum(base_padded.astype(np.float32) ** 2, axis=1)
-            self._base_norms = jax.device_put(jnp.asarray(norms), NamedSharding(mesh, P(self.axis)))
+            arr = base_padded
+            if engine == "pallas":
+                bt = arr.T.copy()
+                if metric == "l2":
+                    # L2 via augmentation (see BruteForceIndex): q' = [q, 1],
+                    # b' = [b, -‖b‖²/2] → q'·b' monotone in the L2 score.
+                    bt = np.concatenate([bt, -0.5 * norms[None, :]], axis=0)
+                self._base = jax.device_put(
+                    jnp.asarray(bt, jnp.bfloat16 if dtype == "bf16" else jnp.float32),
+                    col_spec,
+                )
+            else:
+                self._base = jax.device_put(
+                    jnp.asarray(arr, jnp.bfloat16 if dtype == "bf16" else jnp.float32),
+                    shard_spec,
+                )
+        if metric == "l2" or self.rescore:
+            self._base_norms = jax.device_put(
+                jnp.asarray(norms), NamedSharding(mesh, P(self.axis))
+            )
         else:
             self._base_norms = None
+        if self.rescore:
+            self._base_f32 = jax.device_put(jnp.asarray(base_padded), shard_spec)
+        else:
+            self._base_f32 = None
 
         self._search_jit = jax.jit(self._make_sharded_fn(), static_argnames=("k",))
 
@@ -107,39 +146,84 @@ class ShardedBruteForceIndex:
         rows = self.rows_per_shard
         n_total = self.n
         metric, dtype = self.metric, self.dtype
+        engine, rescore = self.engine, self.rescore
 
-        def shard_body(q, base_shard, base_norms, base_scale, k):
+        def local_rescore(q, base_f32, base_norms, vals, ids, k):
+            """Exact fp32 re-rank of the local 2k candidates (local rows)."""
+            safe = jnp.clip(ids, 0, base_f32.shape[0] - 1)
+            cand = base_f32[safe]  # [B, 2k, D]
+            scores = jnp.einsum(
+                "bcd,bd->bc", cand, q,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            if metric == "l2":
+                scores = 2.0 * scores - base_norms[safe]
+            scores = jnp.where(vals > _NEG_INF, scores, _NEG_INF)
+            best_v, sel = topk.small_topk(scores, k)
+            return best_v, jnp.take_along_axis(safe, sel, axis=1)
+
+        def shard_body(q, base_shard, base_f32, base_norms, base_scale, k):
             shard_id = jax.lax.axis_index(axis)
             row0 = shard_id * rows
-            valid = (row0 + jnp.arange(rows)) < n_total  # [rows]
-            if dtype == "int8":
-                qq = quantize.quantize_int8(q, per_row=True)
-                raw = distances.score_matrix_int8(qq.values, base_shard)
-                raw = jnp.where(valid[None, :], raw, _INT32_MIN)
-                v_i32, ids = topk.two_stage_topk(raw, k)
-                vals = quantize.dequantize(v_i32, qq.scale, base_scale)
-                vals = jnp.where(v_i32 == _INT32_MIN, _NEG_INF, vals)
+            kk = 2 * k if rescore else k
+            if engine == "pallas":
+                nv = jnp.clip(n_total - row0, 0, rows).astype(jnp.int32)[None]
+                nbins = 128 if rescore else 0
+                if dtype == "int8":
+                    qq = quantize.quantize_int8(q, per_row=True)
+                    v_i32, ids = fused_topk_matmul(
+                        qq.values, base_shard, kk, nbins=nbins, n_valid=nv
+                    )
+                    vals = quantize.dequantize(v_i32, qq.scale, base_scale)
+                    vals = jnp.where(v_i32 == _INT32_MIN, _NEG_INF, vals)
+                else:
+                    qx = q
+                    if metric == "l2":
+                        qx = jnp.concatenate(
+                            [qx, jnp.ones((qx.shape[0], 1), qx.dtype)], axis=1
+                        )
+                    qx = qx.astype(base_shard.dtype)
+                    vals, ids = fused_topk_matmul(
+                        qx, base_shard, kk, nbins=nbins, n_valid=nv
+                    )
+                    if metric == "l2":
+                        vals = 2.0 * vals
             else:
-                scores = distances.score_matrix(
-                    q,
-                    base_shard,
-                    metric=metric,
-                    base_norms=base_norms,
-                    compute_dtype=jnp.bfloat16 if dtype == "bf16" else None,
-                )
-                scores = jnp.where(valid[None, :], scores, _NEG_INF)
-                vals, ids = topk.two_stage_topk(scores, k)
-            gids = ids.astype(jnp.int32) + row0
+                valid = (row0 + jnp.arange(rows)) < n_total  # [rows]
+                if dtype == "int8":
+                    qq = quantize.quantize_int8(q, per_row=True)
+                    raw = distances.score_matrix_int8(qq.values, base_shard)
+                    raw = jnp.where(valid[None, :], raw, _INT32_MIN)
+                    v_i32, ids = topk.two_stage_topk(raw, kk)
+                    vals = quantize.dequantize(v_i32, qq.scale, base_scale)
+                    vals = jnp.where(v_i32 == _INT32_MIN, _NEG_INF, vals)
+                else:
+                    scores = distances.score_matrix(
+                        q,
+                        base_shard,
+                        metric=metric,
+                        base_norms=base_norms,
+                        compute_dtype=jnp.bfloat16 if dtype == "bf16" else None,
+                    )
+                    scores = jnp.where(valid[None, :], scores, _NEG_INF)
+                    vals, ids = topk.two_stage_topk(scores, kk)
+            ids = ids.astype(jnp.int32)
+            if rescore:
+                vals, ids = local_rescore(q, base_f32, base_norms, vals, ids, k)
+            gids = ids + row0
             return _gather_merge(vals, gids, k, axis)
 
         in_specs = (
             P(None, None),  # queries replicated
-            P(axis, None),  # base rows sharded
+            # base: rows sharded (xla / fp32 rescore copy) or cols (pallas)
+            P(None, axis) if engine == "pallas" else P(axis, None),
+            P(axis, None) if self._base_f32 is not None else P(),
             P(axis) if self._base_norms is not None else P(),
             P(),
         )
 
-        def fn(q, base, norms, scale, k):
+        def fn(q, base, base_f32, norms, scale, k):
             # Index arrays travel as jit arguments: closures would inline
             # the sharded database into the HLO as a constant.
             body = functools.partial(shard_body, k=k)
@@ -149,7 +233,7 @@ class ShardedBruteForceIndex:
                 in_specs=in_specs,
                 out_specs=(P(None, None), P(None, None)),
                 check_vma=False,
-            )(q, base, norms, scale)
+            )(q, base, base_f32, norms, scale)
 
         return fn
 
@@ -157,7 +241,8 @@ class ShardedBruteForceIndex:
         """On-device sharded search → (vals [B,k] f32, ids [B,k] i32)."""
         norms = self._base_norms if self._base_norms is not None else jnp.zeros(())
         scale = self._base_scale if self._base_scale is not None else jnp.zeros(())
-        return self._search_jit(queries, self._base, norms, scale, k)
+        base_f32 = self._base_f32 if self._base_f32 is not None else jnp.zeros(())
+        return self._search_jit(queries, self._base, base_f32, norms, scale, k)
 
     def search(self, queries: np.ndarray, k: int, batch_size: int | None = None):
         """Host API → (ids [Q,k] i32, scores [Q,k] f32)."""

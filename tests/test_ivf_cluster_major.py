@@ -109,6 +109,42 @@ def test_pallas_cluster_kernel_matches_xla(small_data, metric):
         assert recall_at_k(np.asarray(i_p), np.asarray(i_x), 10) >= 0.97
 
 
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+def test_int8_cluster_engine(small_data, metric):
+    """int8 fine scan (int32 MXU dots + L2 bias column) + fp32 rescore must
+    track exact ground truth; reported scores are true-metric units."""
+    base, queries = small_data
+    idx = IVFIndex.build(base, nlist=16, metric=metric, dtype="int8",
+                         seed=42, max_iter=10)
+    gt = ground_truth(base, queries, 10, metric=metric, backend="numpy")
+    ids, vals, _ = idx.search(queries, k=10, nprobe=16, mode="cluster",
+                              engine="pallas")
+    assert recall_at_k(ids, gt, 10) >= 0.97
+    # rescore is on by default for int8 → values are exact fp32 scores
+    for row_ids, row_vals, q in zip(ids[:8], vals[:8], queries[:8]):
+        m = row_ids >= 0
+        want = base[row_ids[m]] @ q
+        if metric == "l2":
+            want = 2.0 * want - np.sum(base[row_ids[m]] ** 2, axis=1)
+        np.testing.assert_allclose(row_vals[m], want, rtol=1e-4)
+
+
+def test_int8_unrescored_scores_are_dequantized(small_data):
+    """Without rescore the kernel's selected values must come back in
+    true-score units (alpha-rescaled), not raw quantized dots."""
+    base, queries = small_data
+    idx = IVFIndex.build(base, nlist=16, metric="ip", dtype="int8",
+                         seed=42, max_iter=10)
+    import jax.numpy as jnp
+    q = jnp.asarray(queries[:16])
+    vals, ids, _ = idx.search_device(q, k=5, nprobe=16, mode="cluster",
+                                     engine="pallas", rescore=False)
+    vals, ids = np.asarray(vals), np.asarray(ids)
+    for row_vals, row_ids, qq in zip(vals, ids, queries):
+        m = row_ids >= 0
+        np.testing.assert_allclose(row_vals[m], base[row_ids[m]] @ qq, rtol=0.05)
+
+
 def test_empty_clusters_never_pollute_results(small_data):
     """Queries probing an empty cluster must not read unwritten kernel
     output rows (the pallas engine only writes rows of non-empty clusters)."""

@@ -48,6 +48,27 @@ def test_fused_single_tile(rng):
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_i))
 
 
+def test_fused_large_batch_b_grid(rng):
+    """B > tile_b grids over query blocks; every block must keep its own
+    running top-k (state re-initialized per block, emitted per block)."""
+    base = jnp.asarray(rng.uniform(0, 100, size=(2000, 64)).astype(np.float32))
+    q = jnp.asarray(rng.uniform(0, 100, size=(300, 64)).astype(np.float32))
+    vals, ids = fused_topk_matmul(q, base.T, k=4, tile_n=512, tile_b=64)
+    ref_v, ref_i = topk.iterative_topk(q @ base.T, 4)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_v), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_i))
+
+
+def test_fused_large_batch_binned(rng):
+    """Binned selection with the b-grid: top-1 must survive binning."""
+    base = jnp.asarray(rng.uniform(0, 100, size=(3000, 64)).astype(np.float32))
+    q = jnp.asarray(rng.uniform(0, 100, size=(130, 64)).astype(np.float32))
+    vals, ids = fused_topk_matmul(q, base.T, k=10, tile_n=512, tile_b=32, nbins=128)
+    ref_v, ref_i = topk.iterative_topk(q @ base.T, 10)
+    np.testing.assert_allclose(np.asarray(vals[:, 0]), np.asarray(ref_v[:, 0]), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ids[:, 0]), np.asarray(ref_i[:, 0]))
+
+
 def test_fused_dtype_mismatch_rejected(rng):
     base = jnp.zeros((100, 32), jnp.int8)  # transposed below
     q = jnp.zeros((2, 32), jnp.float32)

@@ -50,6 +50,42 @@ def test_sharded_int8(small_data, mesh):
     assert recall_at_k(ids, gt, 10) >= 0.85
 
 
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+def test_sharded_bruteforce_engines_agree(small_data, mesh, metric):
+    """Fused per-shard kernel vs per-shard XLA path: both exact for fp32."""
+    base, queries = small_data
+    px = ShardedBruteForceIndex(base, mesh, metric=metric, dtype="fp32", engine="xla")
+    pp = ShardedBruteForceIndex(base, mesh, metric=metric, dtype="fp32", engine="pallas")
+    ids_x, s_x = px.search(queries, k=10)
+    ids_p, s_p = pp.search(queries, k=10)
+    np.testing.assert_allclose(s_x, s_p, rtol=1e-5)
+    np.testing.assert_array_equal(ids_x, ids_p)
+
+
+def test_sharded_bruteforce_pallas_unaligned_n(mesh, rng):
+    """Pallas engine masks the tail shard via the kernel's dynamic n_valid."""
+    base = rng.uniform(-100, 100, size=(1003, 64)).astype(np.float32)
+    queries = rng.uniform(-100, 100, size=(9, 64)).astype(np.float32)
+    sharded = ShardedBruteForceIndex(base, mesh, dtype="fp32", engine="pallas")
+    ids, scores = sharded.search(queries, k=5)
+    assert ids.max() < 1003 and ids.min() >= 0
+    gt = ground_truth(base, queries, 5, metric="ip", backend="numpy")
+    assert recall_at_k(ids, gt, 5) >= 0.99
+
+
+@pytest.mark.parametrize("dtype", ["int8", "bf16"])
+def test_sharded_rescore_restores_exactness(small_data, mesh, dtype):
+    """2k binned selection + per-shard fp32 re-rank before the merge."""
+    base, queries = small_data
+    sharded = ShardedBruteForceIndex(base, mesh, dtype=dtype, rescore=True)
+    ids, scores = sharded.search(queries, k=10)
+    gt = ground_truth(base, queries, 10, metric="ip", backend="numpy")
+    assert recall_at_k(ids, gt, 10) >= 0.97
+    # rescored values are exact fp32 inner products
+    for row_ids, row_s, q in zip(ids[:8], scores[:8], queries[:8]):
+        np.testing.assert_allclose(row_s, base[row_ids] @ q, rtol=1e-4)
+
+
 def test_partition_clusters_covers_all():
     offsets = np.array([0, 10, 15, 40, 45, 80, 100])
     bounds = _partition_clusters(offsets, 3)
