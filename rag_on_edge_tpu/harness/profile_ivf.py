@@ -22,7 +22,7 @@ import numpy as np
 
 from rag_on_edge_tpu.harness import timing
 from rag_on_edge_tpu.models import ivf as ivf_mod
-from rag_on_edge_tpu.ops import distances, pallas_ivf, quantize, topk
+from rag_on_edge_tpu.ops import pallas_ivf, quantize
 
 
 def _stage_fns(index: "ivf_mod.IVFIndex", k: int, nprobe: int, qcap: int):
@@ -32,23 +32,18 @@ def _stage_fns(index: "ivf_mod.IVFIndex", k: int, nprobe: int, qcap: int):
     int8 = index.dtype == "int8"
 
     def coarse(arrays, q):
-        c = distances.score_matrix(
-            q, arrays["centroids"], metric=index.coarse_metric,
-            base_norms=arrays.get("centroid_norms"),
-        )
-        return topk.small_topk(c, nprobe)
+        return index._coarse_probes(arrays, q, nprobe)  # the production stage 1
 
     def p_coarse(arrays, q):
-        v, _ = coarse(arrays, q)
-        return v
+        return coarse(arrays, q).astype(jnp.float32)
 
     def p_invert(arrays, q):
-        v, probes = coarse(arrays, q)
+        probes = coarse(arrays, q)
         cq, slot, spill = ivf_mod.invert_probes(probes, index.nlist, qcap)
-        return v[:, :1] + spill.astype(jnp.float32), cq, slot
+        return probes[:, :1].astype(jnp.float32) + spill.astype(jnp.float32), cq, slot
 
     def route(arrays, q):
-        _, probes = coarse(arrays, q)
+        probes = coarse(arrays, q)
         cq, slot, _ = ivf_mod.invert_probes(probes, index.nlist, qcap)
         routed = (cq >= 0)[..., None]
         if int8:

@@ -37,6 +37,7 @@ import numpy as np
 
 from rag_on_edge_tpu.models import kmeans as kmeans_mod
 from rag_on_edge_tpu.ops import distances, quantize, topk
+from rag_on_edge_tpu.ops import pallas_bruteforce as pallas_bf
 from rag_on_edge_tpu.ops import pallas_ivf
 
 __all__ = ["IVFIndex", "fine_scan", "invert_probes"]
@@ -176,6 +177,10 @@ class IVFIndex:
     """
 
     PAD_BLOCK_DEFAULT = 512  # cluster slabs padded to this row multiple
+    # Coarse probing switches from XLA (GEMM + iterative top-nprobe, which
+    # materializes nprobe masked [B, nlist] copies) to the fused Pallas
+    # brute-force kernel once the centroid matrix is big enough to matter.
+    COARSE_FUSED_MIN_NLIST = 512
 
     def __init__(
         self,
@@ -276,6 +281,15 @@ class IVFIndex:
             arrays["centroid_norms"] = distances.base_norms_sq(arrays["centroids"])
         if metric == "l2":
             arrays["vector_norms"] = distances.base_norms_sq(vec_dev)
+        if self.nlist >= self.COARSE_FUSED_MIN_NLIST:
+            # Fused coarse probing (see _coarse_probes): centroids stored
+            # transposed, L2 folded in by augmentation (ranking-equivalent).
+            ct = self._centroids_np.T
+            if coarse_metric == "l2":
+                ct = np.concatenate(
+                    [ct, -0.5 * np.sum(ct * ct, axis=0, keepdims=True)], axis=0
+                )
+            arrays["centroids_t"] = jnp.asarray(ct)
         self._arrays = arrays
 
         self._search_jit = jax.jit(
@@ -353,6 +367,27 @@ class IVFIndex:
         best_v, sel = topk.small_topk(scores, k)
         return best_v, jnp.take_along_axis(rows, sel, axis=1)
 
+    def _coarse_probes(self, arrays, q: jax.Array, nprobe: int) -> jax.Array:
+        """STAGE 1 — coarse centroid scoring on the MXU (the reference's NPU
+        centroid GEMM, IVFIndex.cpp:653-657) + top-nprobe (nth_element,
+        IVFIndex.cpp:711-712).  Large nlist uses the fused brute-force
+        kernel (centroid search IS a small brute-force search); ranking
+        under L2 rides the augmentation trick, and only probe ids are
+        consumed downstream, so values never need un-augmenting."""
+        if "centroids_t" in arrays:
+            qx = q
+            if self.coarse_metric == "l2":
+                qx = jnp.concatenate([qx, jnp.ones((qx.shape[0], 1), qx.dtype)], axis=1)
+            _, probes = pallas_bf.fused_topk_matmul(qx, arrays["centroids_t"], nprobe)
+            return probes
+        coarse = distances.score_matrix(
+            q,
+            arrays["centroids"],
+            metric=self.coarse_metric,
+            base_norms=arrays.get("centroid_norms"),
+        )
+        return topk.small_topk(coarse, nprobe)[1]
+
     def _search_impl(self, arrays, queries: jax.Array, k: int, nprobe: int,
                      probe_chunk: int, rescore: bool = False):
         """Returns (scores [B,k] f32, ids [B,k] i32, n_candidates [B] i32)."""
@@ -360,16 +395,7 @@ class IVFIndex:
         q = queries.astype(jnp.float32)
         nprobe = min(nprobe, self.nlist)
 
-        # STAGE 1 — coarse centroid scores on the MXU (the reference's NPU
-        # centroid GEMM, IVFIndex.cpp:653-657) + top-nprobe (nth_element,
-        # IVFIndex.cpp:711-712).
-        coarse = distances.score_matrix(
-            q,
-            arrays["centroids"],
-            metric=self.coarse_metric,
-            base_norms=arrays.get("centroid_norms"),
-        )
-        _, probes = topk.small_topk(coarse, nprobe)  # [B, P]
+        probes = self._coarse_probes(arrays, q, nprobe)  # [B, P]
         p_offs = arrays["offsets"][probes]
         p_sizes = arrays["sizes"][probes]
         n_candidates = jnp.sum(p_sizes, axis=1)
@@ -396,32 +422,35 @@ class IVFIndex:
         return best_v, ids.astype(jnp.int32), n_candidates.astype(jnp.int32)
 
     def _ensure_kernel_state(self) -> None:
-        """Lazily add the cluster-major kernel's arrays (transposed slabs,
-        blocked norms, block tables) to the index state."""
+        """Lazily add the cluster-major kernel's arrays (block-tiled slabs,
+        block tables) to the index state."""
         if "vectors_t" in self._arrays:
             return
         blk = self.PAD_BLOCK
-        vec_t = np.asarray(self._arrays["vectors"], dtype=np.float32).T.copy()
+        vec = np.asarray(self._arrays["vectors"], dtype=np.float32)  # [Npad, D]
         if self.dtype == "int8":
             # Symmetric per-tensor int8 (ops/quantize.py convention): the
             # slab read halves vs bf16 on the HBM-bound scan; L2 rides a
             # bias column at search time instead of the augmentation row
             # (whose magnitude D·127²/2 cannot live in int8).
-            sb = max(float(np.abs(vec_t).max()), 1e-12) / 127.0
+            sb = max(float(np.abs(vec).max()), 1e-12) / 127.0
             self._base_scale = sb
-            self._arrays["vectors_t"] = jnp.asarray(
-                np.clip(np.round(vec_t / sb), -127, 127).astype(np.int8)
+            vec = np.clip(np.round(vec / sb), -127, 127).astype(np.int8)
+        elif self.metric == "l2":
+            # L2 via augmentation: b' = [b, -‖b‖²/2]; queries get a ones
+            # column; the kernel stays metric-free (scores are l2_score/2).
+            vec = np.concatenate(
+                [vec, -0.5 * np.sum(vec * vec, axis=1, keepdims=True)], axis=1
             )
-        else:
-            if self.metric == "l2":
-                # L2 via augmentation: b' = [b, -‖b‖²/2]; queries get a ones
-                # column; the kernel stays metric-free (scores are l2_score/2).
-                vec_t = np.concatenate(
-                    [vec_t, -0.5 * np.sum(vec_t * vec_t, axis=0, keepdims=True)], axis=0
-                )
-            self._arrays["vectors_t"] = jnp.asarray(
-                vec_t.astype(np.float32 if self.dtype == "fp32" else jnp.bfloat16)
-            )
+        # Block-tiled [nblocks, D', blk]: each kernel grid step fetches one
+        # contiguous slab (a flat [D', Npad] layout costs D' strided HBM
+        # segments per block — measured ~2.5x effective-bandwidth loss).
+        vec_t = np.ascontiguousarray(
+            vec.reshape(-1, blk, vec.shape[1]).transpose(0, 2, 1)
+        )
+        if self.dtype == "bf16":
+            vec_t = jnp.asarray(vec_t).astype(jnp.bfloat16)
+        self._arrays["vectors_t"] = jnp.asarray(vec_t)
         bc, bf, bl, rv = pallas_ivf.build_block_tables(
             np.asarray(self._arrays["offsets"]), np.asarray(self._arrays["sizes"]), blk
         )
@@ -444,13 +473,7 @@ class IVFIndex:
         smax = self.max_cluster_padded
 
         # STAGE 1 — coarse centroid scores + top-nprobe (as query-major).
-        coarse = distances.score_matrix(
-            q,
-            arrays["centroids"],
-            metric=self.coarse_metric,
-            base_norms=arrays.get("centroid_norms"),
-        )
-        _, probes = topk.small_topk(coarse, nprobe)  # [B, P]
+        probes = self._coarse_probes(arrays, q, nprobe)  # [B, P]
         n_candidates = jnp.sum(arrays["sizes"][probes], axis=1)
 
         # STAGE 2 — invert the probe map (MoE-style dispatch) and gather
@@ -587,6 +610,22 @@ class IVFIndex:
         mean_load = batch * min(nprobe, self.nlist) / self.nlist
         cap = int(-(-capacity_factor * mean_load // 128) * 128)
         return max(128, min(batch, 256, cap))
+
+    def required_qcap(self, queries: jax.Array | np.ndarray, nprobe: int,
+                      multiple: int = 32) -> int:
+        """Smallest routing capacity with ZERO spill for this batch: the max
+        cluster load of the probe map, rounded up to ``multiple``.
+
+        Costs one coarse scoring pass + a host sync; serving code that
+        can't afford per-batch recompiles should bucket the result (qcap is
+        a static jit argument).  The default ``_auto_qcap`` heuristic needs
+        no sync but may spill on hot clusters at high nprobe.
+        """
+        q = jnp.asarray(np.asarray(queries, dtype=np.float32))
+        probes = self._coarse_probes(self._arrays, q, min(nprobe, self.nlist))
+        loads = jnp.bincount(probes.reshape(-1), length=self.nlist)
+        need = int(jnp.max(loads))
+        return max(multiple, -(-need // multiple) * multiple)
 
     def _pick_mode(self, batch: int, nprobe: int) -> str:
         # Cluster-major's fixed cost is one padded-database pass; it wins

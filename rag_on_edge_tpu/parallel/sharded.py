@@ -382,8 +382,13 @@ class ShardedIVFIndex:
         rows_max = -(-rows_max // blk) * blk
         nblocks_max = rows_max // blk
 
-        d_aug = self.dim + (1 if self.metric == "l2" else 0)
-        vecs_t = np.zeros((S, d_aug, rows_max), dtype=np.float32)
+        int8 = self.dtype == "int8"
+        # int8 slabs: L2 rides a bias column at search time (the augmented
+        # norms row cannot live in int8) — see IVFIndex._ensure_kernel_state.
+        d_aug = self.dim + (1 if self.metric == "l2" and not int8 else 0)
+        # Block-tiled per-shard slabs (contiguous per-grid-step fetches —
+        # see cluster_major_scan's vectors_t contract).
+        vecs_t = np.zeros((S, nblocks_max, d_aug, blk), dtype=np.float32)
         vecs = np.zeros((S, rows_max, self.dim), dtype=np.float32)
         reorder = np.full((S, rows_max), -1, dtype=np.int32)
         bc = np.zeros((S, nblocks_max), dtype=np.int32)
@@ -393,10 +398,16 @@ class ShardedIVFIndex:
         cluster_shard = np.zeros(self.nlist, dtype=np.int32)
         for s, ((lo, hi), (r0, r1)) in enumerate(zip(bounds, row_bounds)):
             nloc = r1 - r0
-            local = vec_p[r0:r1].T
-            vecs_t[s, : self.dim, :nloc] = local
-            if self.metric == "l2":
-                vecs_t[s, self.dim, :nloc] = -0.5 * np.sum(local * local, axis=0)
+            local = vec_p[r0:r1]  # [nloc, D]
+            if self.metric == "l2" and not int8:
+                local = np.concatenate(
+                    [local, -0.5 * np.sum(local * local, axis=1, keepdims=True)],
+                    axis=1,
+                )
+            padded = np.zeros((-(-nloc // blk) * blk, d_aug), dtype=np.float32)
+            padded[:nloc] = local
+            tiled = padded.reshape(-1, blk, d_aug).transpose(0, 2, 1)
+            vecs_t[s, : tiled.shape[0]] = tiled
             vecs[s, :nloc] = vec_p[r0:r1]
             reorder[s, :nloc] = reorder_p[r0:r1]
             cluster_shard[lo:hi] = s
@@ -414,9 +425,19 @@ class ShardedIVFIndex:
                 bc[s, nb:] = hi - 1
 
         sh = lambda *spec: NamedSharding(self.mesh, P(*spec))  # noqa: E731
-        dt = jnp.bfloat16 if self.dtype == "bf16" else jnp.float32
+        if int8:
+            sb = max(float(np.abs(vecs_t).max()), 1e-12) / 127.0
+            self._cm_base_scale = sb
+            vecs_t_dev = jnp.asarray(
+                np.clip(np.round(vecs_t / sb), -127, 127).astype(np.int8)
+            )
+        else:
+            self._cm_base_scale = None
+            vecs_t_dev = jnp.asarray(
+                vecs_t, dtype=jnp.bfloat16 if self.dtype == "bf16" else jnp.float32
+            )
         self._cm_arrays = {
-            "vectors_t": jax.device_put(jnp.asarray(vecs_t, dtype=dt), sh(self.axis, None, None)),
+            "vectors_t": jax.device_put(vecs_t_dev, sh(self.axis, None, None)),
             "vectors": jax.device_put(jnp.asarray(vecs), sh(self.axis, None, None)),
             "reorder": jax.device_put(jnp.asarray(reorder), sh(self.axis, None)),
             "bc": jax.device_put(jnp.asarray(bc), sh(self.axis, None)),
@@ -439,6 +460,8 @@ class ShardedIVFIndex:
         coarse_metric = self.coarse_metric
         nlist = self.nlist
         blk = self._src_index.PAD_BLOCK
+        dtype = self.dtype
+        get_scale = lambda: self._cm_base_scale  # noqa: E731 — set by _ensure_cluster_state
 
         def shard_body(q, cents, c_norms, vecs_t, vecs, reorder, bc, bf, bl, rv,
                        cluster_shard, sizes, v_norms, k, nprobe, qcap):
@@ -454,18 +477,32 @@ class ShardedIVFIndex:
             _, probes = topk_ops.small_topk(coarse, min(nprobe, nlist))
             cq, slot, spill = invert_probes(probes, nlist, qcap)
             ncand = jnp.sum(sizes[probes], axis=1).astype(jnp.int32)
-            qg = q[jnp.clip(cq, 0)]
-            qg = jnp.where((cq >= 0)[..., None], qg, 0.0)
-            if metric == "l2":
-                ones = jnp.where((cq >= 0)[..., None], 1.0, 0.0)
-                qg = jnp.concatenate([qg, ones], axis=-1)
-            qg = qg.astype(vecs_t.dtype)
+            routed = (cq >= 0)[..., None]
+            alpha, bias = None, None
+            if dtype == "int8":
+                # Same int8 scheme as IVFIndex: per-batch query scale
+                # (replicated q → identical on every shard), L2 as a bias
+                # column over the local norms, alpha-rescale after.
+                sq = quantize.calibrate_scale(q)
+                qi = jnp.clip(jnp.round(q / sq), -127, 127).astype(jnp.int8)
+                qg = jnp.where(routed, qi[jnp.clip(cq, 0)], jnp.int8(0))
+                alpha = sq * jnp.float32(get_scale())
+                if metric == "l2":
+                    alpha = 2.0 * alpha
+                    bias = (v_norms / alpha)[None, :]
+            else:
+                qg = jnp.where(routed, q[jnp.clip(cq, 0)], 0.0)
+                if metric == "l2":
+                    qg = jnp.concatenate([qg, jnp.where(routed, 1.0, 0.0)], axis=-1)
+                qg = qg.astype(vecs_t.dtype)
 
             # Sharded fine stage: each chip scans only its local blocks.
             pv, pr = pallas_ivf.cluster_major_scan(
-                qg, vecs_t, bc, bf, bl, rv, k=kk, blk=blk
+                qg, vecs_t, bc, bf, bl, rv, k=kk, blk=blk, bias=bias
             )
-            if metric == "l2":
+            if alpha is not None:
+                pv = alpha * pv
+            elif metric == "l2":
                 pv = 2.0 * pv
 
             # Join over locally-owned, recorded, non-empty pairs only.
@@ -498,7 +535,7 @@ class ShardedIVFIndex:
             P(None, None),  # queries
             P(None, None),  # centroids
             P(None) if self.coarse_metric == "l2" else P(),
-            P(axis, None, None),  # vectors_t
+            P(axis, None, None, None),  # vectors_t (block-tiled)
             P(axis, None, None),  # vectors (rescore)
             P(axis, None),  # reorder
             P(axis, None), P(axis, None), P(axis, None), P(axis, None),  # tables

@@ -69,6 +69,40 @@ def test_cluster_major_l2(small_data):
     assert recall_at_k(ids, gt, 10) >= 0.99  # pallas engine: binned + rescored
 
 
+def test_fused_coarse_probing_matches_xla(small_data):
+    """The fused-kernel coarse stage (auto at nlist >= COARSE_FUSED_MIN_NLIST)
+    must pick the same probes as the XLA GEMM + iterative top-nprobe."""
+    base, queries = small_data
+    for coarse_metric in ("ip", "l2"):
+        xla = IVFIndex.build(base, nlist=16, metric="ip",
+                             coarse_metric=coarse_metric, seed=42, max_iter=10)
+        old = IVFIndex.COARSE_FUSED_MIN_NLIST
+        try:
+            IVFIndex.COARSE_FUSED_MIN_NLIST = 8
+            fused = IVFIndex.build(base, nlist=16, metric="ip",
+                                   coarse_metric=coarse_metric, seed=42, max_iter=10)
+        finally:
+            IVFIndex.COARSE_FUSED_MIN_NLIST = old
+        assert "centroids_t" in fused._arrays and "centroids_t" not in xla._arrays
+        ids_x, v_x, c_x = xla.search(queries, k=10, nprobe=4)
+        ids_f, v_f, c_f = fused.search(queries, k=10, nprobe=4)
+        assert c_x == c_f  # identical probe sets → identical candidate counts
+        np.testing.assert_array_equal(ids_x, ids_f)
+
+
+def test_required_qcap_gives_zero_spill(small_data, ivf):
+    """qcap from required_qcap must route every (query, cluster) pair."""
+    _, queries = small_data
+    import jax.numpy as jnp
+    q = jnp.asarray(queries)
+    qcap = ivf.required_qcap(q, nprobe=8)
+    ivf.search_device(q, k=10, nprobe=8, mode="cluster", qcap=qcap)
+    assert int(ivf.last_spill) == 0
+    # a deliberately tiny qcap must spill on the same batch
+    ivf.search_device(q, k=10, nprobe=8, mode="cluster", qcap=8)
+    assert int(ivf.last_spill) > 0
+
+
 def test_auto_mode_picks_cluster_for_big_batches(ivf):
     assert ivf._pick_mode(batch=1024, nprobe=8) == "cluster"
     assert ivf._pick_mode(batch=1, nprobe=2) == "query"

@@ -142,3 +142,18 @@ def test_sharded_cluster_major(small_data, mesh, metric):
         # rescored scores are exact for agreeing ids
         agree = ids_m == ids_s
         np.testing.assert_allclose(v_m[agree], v_s[agree], rtol=1e-4)
+
+
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+def test_sharded_cluster_major_int8(small_data, mesh, metric):
+    """int8 per-shard slabs (bias-column L2, alpha rescale) + fp32 rescore
+    must track exact single-chip search like the single-chip int8 path."""
+    base, queries = small_data
+    single = IVFIndex.build(base, nlist=16, metric=metric, dtype="int8",
+                            seed=42, max_iter=10)
+    sharded = ShardedIVFIndex(single, mesh)
+    ids_s, v_s, _ = single.search(queries, k=10, nprobe=16, mode="query")
+    ids_m, v_m, _ = sharded.search(queries, k=10, nprobe=16, mode="cluster")
+    assert recall_at_k(ids_m, ids_s, 10) >= 0.95
+    agree = ids_m == ids_s
+    np.testing.assert_allclose(v_m[agree], v_s[agree], rtol=1e-4)
