@@ -177,6 +177,7 @@ class IVFIndex:
     """
 
     PAD_BLOCK_DEFAULT = 512  # cluster slabs padded to this row multiple
+    CM_GROUP = 4  # blocks scored per grid step of the cluster-major kernel
     # Coarse probing switches from XLA (GEMM + iterative top-nprobe, which
     # materializes nprobe masked [B, nlist] copies) to the fused Pallas
     # brute-force kernel once the centroid matrix is big enough to matter.
@@ -442,22 +443,28 @@ class IVFIndex:
             vec = np.concatenate(
                 [vec, -0.5 * np.sum(vec * vec, axis=1, keepdims=True)], axis=1
             )
-        # Block-tiled [nblocks, D', blk]: each kernel grid step fetches one
-        # contiguous slab (a flat [D', Npad] layout costs D' strided HBM
-        # segments per block — measured ~2.5x effective-bandwidth loss).
+        # Block-tiled [nblocks, D', blk], padded to a CM_GROUP multiple with
+        # dummy blocks (rows_valid 0, first/last 0 → pure no-ops): the
+        # grouped kernel walks GROUP blocks per grid step.
         vec_t = np.ascontiguousarray(
             vec.reshape(-1, blk, vec.shape[1]).transpose(0, 2, 1)
         )
+        bc, bf, bl, rv, lb = pallas_ivf.build_block_tables(
+            np.asarray(self._arrays["offsets"]), np.asarray(self._arrays["sizes"]), blk
+        )
+        padg = (-vec_t.shape[0]) % self.CM_GROUP
+        if padg:
+            vec_t = np.pad(vec_t, ((0, padg), (0, 0), (0, 0)))
+            bc = np.pad(bc, (0, padg))
+            bf, bl, rv = (np.pad(x, (0, padg)) for x in (bf, bl, rv))
         if self.dtype == "bf16":
             vec_t = jnp.asarray(vec_t).astype(jnp.bfloat16)
         self._arrays["vectors_t"] = jnp.asarray(vec_t)
-        bc, bf, bl, rv = pallas_ivf.build_block_tables(
-            np.asarray(self._arrays["offsets"]), np.asarray(self._arrays["sizes"]), blk
-        )
         self._arrays["block_cluster"] = jnp.asarray(bc)
         self._arrays["block_first"] = jnp.asarray(bf)
         self._arrays["block_last"] = jnp.asarray(bl)
         self._arrays["rows_valid"] = jnp.asarray(rv)
+        self._arrays["last_block"] = jnp.asarray(lb)
 
     def _search_cluster_major_impl(self, arrays, queries: jax.Array, k: int, nprobe: int, qcap: int, engine: str = "xla", rescore: bool = False):
         """Cluster-major search (see class docstring).
@@ -483,6 +490,7 @@ class IVFIndex:
 
         # STAGE 3 — score each cluster's slab against its routed queries.
         if engine == "pallas":
+            nblocks = arrays["vectors_t"].shape[0]
             if self.dtype == "int8":
                 # Symmetric int8 queries (per-batch scale, gathered AFTER
                 # quantization — the routed table is 8x smaller than fp32).
@@ -496,7 +504,11 @@ class IVFIndex:
                     # to the positive 2·sq·sb, so fold norms into a bias
                     # column and rescale the selected values afterwards.
                     alpha = 2.0 * alpha
-                    bias = (arrays["vector_norms"] / alpha)[None, :]
+                    norms = arrays["vector_norms"]
+                    pad = nblocks * self.PAD_BLOCK - norms.shape[0]
+                    if pad:
+                        norms = jnp.pad(norms, (0, pad))
+                    bias = (norms / alpha).reshape(nblocks, 1, self.PAD_BLOCK)
             else:
                 qg = q[jnp.clip(cq, 0)]  # [nlist, qcap, D]
                 qg = jnp.where(routed, qg, 0.0)
@@ -506,15 +518,18 @@ class IVFIndex:
                     ones = jnp.where(routed, 1.0, 0.0)
                     qk = jnp.concatenate([qg, ones], axis=-1)
                 qk = qk.astype(arrays["vectors_t"].dtype)
-            pv, pr = pallas_ivf.cluster_major_scan(
-                qk,
+            # Per-block routed queries: an extra gather, but it buys the
+            # grouped kernel fully regular index maps.
+            qb = qk[arrays["block_cluster"]]  # [nblocks, qcap, D']
+            pv, pr = pallas_ivf.cluster_major_scan_grouped(
+                qb,
                 arrays["vectors_t"],
-                arrays["block_cluster"],
                 arrays["block_first"],
                 arrays["block_last"],
                 arrays["rows_valid"],
                 k=kk,
                 blk=self.PAD_BLOCK,
+                group=self.CM_GROUP,
                 bias=bias,
             )
             if alpha is not None:
@@ -523,7 +538,7 @@ class IVFIndex:
                 pv = 2.0 * pv  # augmented scores are l2_score/2
             return self._cm_finish(
                 arrays, queries, probes, slot, pv, pr, k, kk, rescore,
-                n_candidates, spill,
+                n_candidates, spill, block_map=arrays["last_block"],
             )
 
         # XLA fallback: lax.scan over clusters with max-size dynamic slices.
@@ -569,18 +584,23 @@ class IVFIndex:
         )
 
     def _cm_finish(self, arrays, queries, probes, slot, pv, pr, k, kk, rescore,
-                   n_candidates, spill):
+                   n_candidates, spill, block_map=None):
         """STAGE 4 — per query, gather its (cluster, slot) partials,
         re-select (optionally fp32-rescoring the kk candidates), and map
-        padded rows back to original ids."""
+        padded rows back to original ids.
+
+        block_map: per-cluster row into pv/pr when the kernel emits
+        per-BLOCK outputs (grouped engine: each cluster's result lives at
+        its last block); None when pv is indexed by cluster (XLA engine)."""
         b = probes.shape[0]
+        rows = probes if block_map is None else block_map[probes]
         # Empty probed clusters have no blocks, so the pallas engine never
         # writes their output rows — exclude them (alongside spilled pairs)
         # or the join would read uninitialized memory.
         ok = (slot >= 0) & (arrays["sizes"][probes] > 0)
         sl = jnp.clip(slot, 0)
-        gv = jnp.where(ok[..., None], pv[probes, sl], _NEG_INF).reshape(b, -1)
-        gr = pr[probes, sl].reshape(b, -1)
+        gv = jnp.where(ok[..., None], pv[rows, sl], _NEG_INF).reshape(b, -1)
+        gr = pr[rows, sl].reshape(b, -1)
         best_v, sel = topk.small_topk(gv, kk)
         best_r = jnp.take_along_axis(gr, sel, axis=1)
         if rescore:

@@ -412,7 +412,7 @@ class ShardedIVFIndex:
             reorder[s, :nloc] = reorder_p[r0:r1]
             cluster_shard[lo:hi] = s
             if hi > lo:
-                bcl, bfl, bll, rvl = pallas_ivf.build_block_tables(
+                bcl, bfl, bll, rvl, _ = pallas_ivf.build_block_tables(
                     offs_p[lo:hi] - r0, sizes[lo:hi], blk
                 )
                 nb = len(bcl)
