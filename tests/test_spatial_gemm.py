@@ -54,3 +54,22 @@ def test_verify_matmul_catches_errors(rng):
     c_bad = c.copy()
     c_bad[3, 7] += 1.0
     assert not verify_matmul(a, b, c_bad)
+
+
+def test_prepare_int8_operands(rng):
+    """Normalize -> int8 -> pad pipeline (the AIE A.bin/B.bin analog):
+    padded shapes, value range, and top-k order preservation."""
+    from rag_on_edge_tpu.utils.preprocess import l2_normalize, prepare_int8_operands
+
+    q = rng.normal(size=(33, 128)).astype(np.float32)
+    b = rng.normal(size=(1000, 128)).astype(np.float32)
+    a_i8, b_i8, scale = prepare_int8_operands(q, b)
+    assert a_i8.shape == (64, 128) and b_i8.shape == (1024, 128)
+    assert a_i8.dtype == np.int8 and abs(a_i8).max() <= 127
+    assert (a_i8[33:] == 0).all() and (b_i8[1000:] == 0).all()
+    # int8 inner products reproduce the normalized fp32 scores to within
+    # quantization noise (argmax agreement is ill-posed here: iid Gaussian
+    # directions make every pair of scores a near-tie).
+    exact = l2_normalize(q) @ l2_normalize(b).T
+    raw = a_i8[:33].astype(np.int32) @ b_i8[:1000].astype(np.int32).T
+    np.testing.assert_allclose(raw * scale * scale, exact, atol=0.02)
