@@ -696,13 +696,23 @@ class IVFIndex:
 
     def search_stream_device(
         self, query_stream: jax.Array, k: int, nprobe: int,
-        probe_chunk: int | None = None,
+        probe_chunk: int | None = None, mode: str = "query",
     ):
-        """Stream mode: one dispatch runs a stack of query-major searches
+        """Stream mode: one dispatch runs a stack of micro-batches
         [M, B, D] → (scores [M,B,k], ids [M,B,k], n_candidates [M,B]) —
         a serving queue drains M micro-batches per device call, amortizing
         per-dispatch overhead (see BruteForceIndex.search_stream_device).
-        Cluster-major mode amortizes within one large batch instead."""
+
+        mode "query": M independent query-major searches (low-latency
+        shapes).  mode "cluster": the whole stream is flattened into ONE
+        cluster-major batch — the slab walk is paid once for all M·B
+        queries, the right shape for 1M-scale throughput serving."""
+        if mode == "cluster":
+            m, b2, d = query_stream.shape
+            v, i, c = self.search_device(
+                query_stream.reshape(m * b2, d), k, nprobe, mode="cluster"
+            )
+            return v.reshape(m, b2, k), i.reshape(m, b2, k), c.reshape(m, b2)
         pc = probe_chunk or self._auto_probe_chunk(query_stream.shape[1])
         return self._stream_jit(self._arrays, query_stream, k, nprobe, pc)
 

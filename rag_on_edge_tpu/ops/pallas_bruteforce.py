@@ -30,21 +30,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_topk_matmul", "auto_tile_n"]
 
-# Budget for the [B, tile_n] score tile.  Selection temporaries (the
-# max-and-mask chain) cost the compiler ~2-3x the tile's footprint in
-# scoped VMEM stack, so this stays well under the 16 MB VMEM.
-_VMEM_SCORE_BUDGET = 1 << 20
-
-
 def _interpret_default() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def auto_tile_n(b: int, n: int, acc_bytes: int = 4) -> int:
-    """Largest tile_n (multiple of 512, ≤16384) whose score tile — and the
-    compiler's ~2-3x selection temporaries — fit VMEM alongside the
-    double-buffered base tiles."""
-    t = _VMEM_SCORE_BUDGET // max(b * acc_bytes, 1)
+def auto_tile_n(b: int, n: int, acc_bytes: int = 4, base_bytes: int = 1) -> int:
+    """Largest tile_n (multiple of 512, ≤16384) whose score tile — plus the
+    compiler's selection temporaries and the double-buffered base tiles —
+    fits VMEM.  Measured on v5e (1M int8, B=2048, kk=20): score-tile
+    budgets of 1→4→6 MB give 22K→64K→79K QPS and 8 MB fails to compile,
+    so the budget sits at 6 MB for int8 bases and shrinks with the base
+    element size (fatter base tiles need their share of VMEM)."""
+    budget = {1: 6 << 20, 2: 3 << 20}.get(base_bytes, 2 << 20)
+    t = budget // max(b * acc_bytes, 1)
     t = min(int(t), 16384, max(n, 512))
     return max(512, (t // 512) * 512)
 
@@ -229,7 +227,7 @@ def fused_topk_matmul(
     b_tiles = bp // tile_b
 
     if tile_n is None:
-        tile_n = auto_tile_n(tile_b, n, 4)
+        tile_n = auto_tile_n(tile_b, n, 4, base_t.dtype.itemsize)
     if nbins and tile_n % nbins:
         raise ValueError(f"tile_n={tile_n} must be a multiple of nbins={nbins}")
     pad_n = (-n) % tile_n

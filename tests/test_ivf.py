@@ -103,3 +103,17 @@ def test_stream_mode_matches_query_major(small_data, ivf_ip):
     ids, scores, _ = ivf_ip.search(queries[:32], k=5, nprobe=4, batch_size=8, mode="query")
     np.testing.assert_array_equal(np.asarray(i_s).reshape(32, 5), ids)
     np.testing.assert_allclose(np.asarray(v_s).reshape(32, 5), scores, rtol=1e-6)
+
+
+def test_stream_cluster_mode(small_data, ivf_ip):
+    """Cluster stream mode flattens M micro-batches into one cluster-major
+    batch; ids must track the query-major result."""
+    import jax.numpy as jnp
+    from rag_on_edge_tpu.utils.metrics import recall_at_k
+
+    _, queries = small_data
+    stream = jnp.asarray(queries[:32].reshape(4, 8, -1))
+    v_s, i_s, c_s = ivf_ip.search_stream_device(stream, k=5, nprobe=4, mode="cluster")
+    assert v_s.shape == (4, 8, 5) and c_s.shape == (4, 8)
+    ids, _, _ = ivf_ip.search(queries[:32], k=5, nprobe=4, mode="query")
+    assert recall_at_k(np.asarray(i_s).reshape(32, 5), ids, 5) >= 0.95
