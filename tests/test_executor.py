@@ -1,0 +1,79 @@
+import threading
+
+import numpy as np
+import pytest
+
+from rag_on_edge_tpu.models.brute_force import BruteForceIndex
+from rag_on_edge_tpu.runtime.executor import BatchingExecutor
+
+
+@pytest.fixture(scope="module")
+def index(small_data):
+    base, _ = small_data
+    return BruteForceIndex(base, metric="ip", dtype="fp32", select="exact")
+
+
+def test_executor_matches_direct_search(small_data, index):
+    _, queries = small_data
+    direct_ids, direct_scores = index.search(queries[:40], k=5)
+    with BatchingExecutor(
+        lambda q: index.search_device(q, k=5), dim=queries.shape[1],
+        batch_size=16, max_delay_ms=5.0,
+    ) as ex:
+        futs = [ex.submit(q) for q in queries[:40]]
+        for i, f in enumerate(futs):
+            vals, ids = f.result(timeout=30)
+            assert ids.shape == (5,)
+            np.testing.assert_array_equal(ids, direct_ids[i])
+            np.testing.assert_allclose(vals, direct_scores[i], rtol=1e-6)
+
+
+def test_executor_concurrent_submitters(small_data, index):
+    _, queries = small_data  # 32 queries
+    direct_ids, _ = index.search(queries, k=3)
+    results = {}
+    with BatchingExecutor(
+        lambda q: index.search_device(q, k=3), dim=queries.shape[1],
+        batch_size=16, max_delay_ms=2.0,
+    ) as ex:
+        def worker(lo, hi):
+            for i in range(lo, hi):
+                results[i] = ex.submit(queries[i]).result(timeout=30)[1]
+
+        threads = [threading.Thread(target=worker, args=(i * 8, (i + 1) * 8))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    for i, ids in results.items():
+        np.testing.assert_array_equal(ids, direct_ids[i])
+
+
+def test_executor_group_submit_and_deadline(small_data, index):
+    """An underfull batch must still launch once the deadline passes, and
+    group submissions come back as a slice."""
+    _, queries = small_data
+    with BatchingExecutor(
+        lambda q: index.search_device(q, k=4), dim=queries.shape[1],
+        batch_size=64, max_delay_ms=1.0,  # 3 rows never fill 64
+    ) as ex:
+        vals, ids = ex.submit(queries[:3]).result(timeout=30)
+        assert ids.shape == (3, 4)
+        direct_ids, _ = index.search(queries[:3], k=4)
+        np.testing.assert_array_equal(ids, direct_ids)
+
+
+def test_executor_rejects_bad_inputs(small_data, index):
+    _, queries = small_data
+    ex = BatchingExecutor(
+        lambda q: index.search_device(q, k=3), dim=queries.shape[1], batch_size=8
+    )
+    with pytest.raises(ValueError, match="dim"):
+        ex.submit(np.zeros(7, np.float32))
+    with pytest.raises(ValueError, match="batch_size"):
+        ex.submit(np.zeros((9, queries.shape[1]), np.float32))
+    ex.close()
+    ex.close()  # idempotent
+    with pytest.raises(RuntimeError, match="closed"):
+        ex.submit(queries[0])

@@ -117,3 +117,28 @@ def test_stream_cluster_mode(small_data, ivf_ip):
     assert v_s.shape == (4, 8, 5) and c_s.shape == (4, 8)
     ids, _, _ = ivf_ip.search(queries[:32], k=5, nprobe=4, mode="query")
     assert recall_at_k(np.asarray(i_s).reshape(32, 5), ids, 5) >= 0.95
+
+
+def test_error_paths_and_edge_cases(small_data, ivf_ip):
+    """The contract probes: bad args raise cleanly, nprobe clips to nlist,
+    k beyond the probed candidate pool pads with id -1."""
+    base, queries = small_data
+    import pytest
+    from rag_on_edge_tpu.models.ivf import IVFIndex
+
+    with pytest.raises(ValueError, match="metric"):
+        IVFIndex.build(base, nlist=4, metric="cosine")
+    with pytest.raises(ValueError, match="dtype"):
+        IVFIndex.build(base, nlist=4, dtype="fp8")
+    with pytest.raises(ValueError, match="coarse_metric"):
+        IVFIndex.build(base, nlist=4, coarse_metric="dot")
+
+    # nprobe > nlist clips: candidate count equals the whole database
+    _, _, avg_cand = ivf_ip.search(queries[:8], k=5, nprobe=10_000)
+    assert avg_cand == base.shape[0]
+
+    # k larger than the probed pool pads rows with id -1 and -inf scores
+    ids, scores, _ = ivf_ip.search(queries[:4], k=base.shape[0] // 4, nprobe=1)
+    assert (ids == -1).any()
+    assert np.isneginf(scores[ids == -1]).all()
+    assert (ids[:, 0] >= 0).all()
