@@ -52,9 +52,11 @@ class BruteForceIndex:
     select : "auto" | "exact" | "two_stage" | "iterative" | "approx"
         k-selection strategy ("auto": exact — iterative argmax passes for
         small k, blocked two-stage otherwise).  XLA engine only.
-    engine : "xla" (score GEMM + separate on-device selection) or "pallas"
-        (fused streaming kernel — the [B, N] score matrix never reaches
-        HBM; preferred for large N).
+    engine : "auto" | "xla" | "pallas".  "xla" materializes the [B, N]
+        score matrix then selects — fine while it fits comfortably;
+        "pallas" is the fused streaming kernel (the score matrix never
+        reaches HBM) — the right engine for large N.  "auto" picks pallas
+        once N ≥ 100K.
     rescore : for quantized paths (int8/bf16), select 2k candidates in the
         quantized domain and recompute their exact fp32 scores before the
         final top-k — restores exact recall at the cost of keeping an fp32
@@ -68,7 +70,7 @@ class BruteForceIndex:
         metric: str = "ip",
         dtype: str = "bf16",
         select: str = "auto",
-        engine: str = "xla",
+        engine: str = "auto",
         rescore: bool = False,
         device: jax.Device | None = None,
     ):
@@ -78,8 +80,10 @@ class BruteForceIndex:
             raise ValueError(f"unknown dtype {dtype!r}")
         if select not in _SELECT_FNS:
             raise ValueError(f"unknown select {select!r}")
-        if engine not in ("xla", "pallas"):
+        if engine not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown engine {engine!r}")
+        if engine == "auto":
+            engine = "pallas" if base.shape[0] >= 100_000 else "xla"
         if dtype == "int8" and metric != "ip":
             raise ValueError("int8 path supports metric='ip' only (like the reference NPU path)")
 

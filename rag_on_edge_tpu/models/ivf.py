@@ -489,16 +489,15 @@ class IVFIndex:
         routed = (cq >= 0)[..., None]
 
         # STAGE 3 — score each cluster's slab against its routed queries.
-        if engine == "pallas":
+        if engine in ("pallas", "pallas_routed"):
             nblocks = arrays["vectors_t"].shape[0]
+            alpha, bias = None, None
             if self.dtype == "int8":
                 # Symmetric int8 queries (per-batch scale, gathered AFTER
                 # quantization — the routed table is 8x smaller than fp32).
                 sq = quantize.calibrate_scale(q)
                 qi = jnp.clip(jnp.round(q / sq), -127, 127).astype(jnp.int8)
-                qk = jnp.where(routed, qi[jnp.clip(cq, 0)], jnp.int8(0))
                 alpha = sq * jnp.float32(self._base_scale)
-                bias = None
                 if self.metric == "l2":
                     # l2 = 2·sq·sb·dots − ‖b‖²; per-row ranking is invariant
                     # to the positive 2·sq·sb, so fold norms into a bias
@@ -510,28 +509,36 @@ class IVFIndex:
                         norms = jnp.pad(norms, (0, pad))
                     bias = (norms / alpha).reshape(nblocks, 1, self.PAD_BLOCK)
             else:
-                qg = q[jnp.clip(cq, 0)]  # [nlist, qcap, D]
-                qg = jnp.where(routed, qg, 0.0)
-                alpha, bias = None, None
-                qk = qg
+                qi = q
                 if self.metric == "l2":
-                    ones = jnp.where(routed, 1.0, 0.0)
-                    qk = jnp.concatenate([qg, ones], axis=-1)
-                qk = qk.astype(arrays["vectors_t"].dtype)
-            # Per-block routed queries: an extra gather, but it buys the
-            # grouped kernel fully regular index maps.
-            qb = qk[arrays["block_cluster"]]  # [nblocks, qcap, D']
-            pv, pr = pallas_ivf.cluster_major_scan_grouped(
-                qb,
-                arrays["vectors_t"],
-                arrays["block_first"],
-                arrays["block_last"],
-                arrays["rows_valid"],
-                k=kk,
-                blk=self.PAD_BLOCK,
-                group=self.CM_GROUP,
-                bias=bias,
-            )
+                    qi = jnp.concatenate(
+                        [qi, jnp.ones((b, 1), qi.dtype)], axis=-1
+                    )
+                qi = qi.astype(arrays["vectors_t"].dtype)
+            if engine == "pallas_routed":
+                # In-kernel one-hot routing: the batch stays VMEM-resident;
+                # no [nblocks, qcap, D] routed table ever exists in HBM.
+                cqb = cq[arrays["block_cluster"]][..., None]
+                pad_b = (-b) % 128
+                if pad_b:
+                    qi = jnp.pad(qi, ((0, pad_b), (0, 0)))
+                pv, pr = pallas_ivf.cluster_major_scan_routed(
+                    qi, cqb, arrays["vectors_t"],
+                    arrays["block_first"], arrays["block_last"],
+                    arrays["rows_valid"],
+                    k=kk, blk=self.PAD_BLOCK, group=self.CM_GROUP, bias=bias,
+                )
+            else:
+                qk = jnp.where(routed, qi[jnp.clip(cq, 0)], jnp.zeros((), qi.dtype))
+                # Per-block routed queries: an extra gather, but it buys
+                # the grouped kernel fully regular index maps.
+                qb = qk[arrays["block_cluster"]]  # [nblocks, qcap, D']
+                pv, pr = pallas_ivf.cluster_major_scan_grouped(
+                    qb, arrays["vectors_t"],
+                    arrays["block_first"], arrays["block_last"],
+                    arrays["rows_valid"],
+                    k=kk, blk=self.PAD_BLOCK, group=self.CM_GROUP, bias=bias,
+                )
             if alpha is not None:
                 pv = alpha * pv  # back to true-score units (−inf stays −inf)
             elif self.metric == "l2":
@@ -668,20 +675,22 @@ class IVFIndex:
         """On-device search → (scores [B,k], ids [B,k], n_candidates [B]).
 
         mode: "auto" | "query" | "cluster" fine-scan strategy.
-        engine: "pallas" | "xla" stage-3 implementation for cluster mode.
+        engine: "pallas" (grouped kernel over a pre-gathered routed table)
+            | "pallas_routed" (in-kernel one-hot routing, no routed table
+            in HBM) | "xla" — stage-3 implementation for cluster mode.
         rescore: fp32 re-ranking of 2k candidates.  Defaults on for the
-            pallas cluster engine (its bin-max selection is approximate)
-            and for bf16 scans.
+            pallas cluster engines (their bin-max selection is
+            approximate) and for bf16 scans.
         """
         b = queries.shape[0]
         if mode == "auto":
             mode = self._pick_mode(b, nprobe)
         if rescore is None:
             rescore = self.dtype in ("bf16", "int8") or (
-                mode == "cluster" and engine == "pallas"
+                mode == "cluster" and engine != "xla"
             )
         if mode == "cluster":
-            if engine == "pallas":
+            if engine in ("pallas", "pallas_routed"):
                 self._ensure_kernel_state()
             vals, ids, ncand, spill = self._search_cm_jit(
                 self._arrays, queries, k, nprobe,

@@ -228,6 +228,177 @@ def cluster_major_scan_grouped(
     return pv.reshape(nblocks, qcap, k), pr.reshape(nblocks, qcap, k)
 
 
+def _routed_grouped_kernel(
+    # scalar prefetch
+    block_first, block_last, rows_valid,
+    # inputs: qi_ref (resident), cq_ref, vec_ref, [bias_ref], outs, scratch
+    qi_ref, cq_ref, vec_ref, *rest,
+    k, blk, group, nbins, has_bias,
+):
+    """Grouped walk with IN-KERNEL routing: instead of reading a
+    pre-gathered [nblocks, qcap, D] table from HBM, the whole query batch
+    stays VMEM-resident and each block's routed set is materialized on
+    the MXU as ``onehot(cq) @ q`` — a gather expressed as a matmul, the
+    TPU-native way to do dynamic row selection."""
+    if has_bias:
+        bias_ref, out_v_ref, out_i_ref, sv_ref, si_ref, sc_ref = rest
+    else:
+        bias_ref = None
+        out_v_ref, out_i_ref, sv_ref, si_ref, sc_ref = rest
+    g = pl.program_id(0)
+    fill = jnp.float32(_NEG_INF)
+    qi = qi_ref[:]  # [B, D] resident across the whole grid
+    b_total = qi.shape[0]
+    int_path = qi.dtype == jnp.int8
+
+    for i in range(group):
+        j = g * group + i
+
+        @pl.when(block_first[j] == 1)
+        def _init():
+            sv_ref[:] = jnp.full_like(sv_ref, fill)
+            si_ref[:] = jnp.zeros_like(si_ref)
+
+        cq = cq_ref[0, i]  # [qcap, 1]; -1 rows produce all-zero one-hots
+        qcap = cq.shape[0]
+        bcols = jax.lax.broadcasted_iota(jnp.int32, (qcap, b_total), 1)
+        onehot = (cq == bcols).astype(qi.dtype)
+        qg = jax.lax.dot_general(
+            onehot, qi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32 if int_path else jnp.float32,
+            precision=None if int_path else jax.lax.Precision.HIGHEST,
+        ).astype(qi.dtype)  # [qcap, D] — one-hot rows reproduce qi exactly
+        scores = jax.lax.dot_general(
+            qg, vec_ref[0, i], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32 if int_path else jnp.float32,
+            precision=jax.lax.Precision.HIGHEST
+            if qg.dtype == jnp.float32 else None,
+        )  # [qcap, BLK]
+        if int_path:
+            scores = scores.astype(jnp.float32)
+        if bias_ref is not None:
+            scores = scores - bias_ref[0, i]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (qcap, blk), 1)
+        scores = jnp.where(cols < rows_valid[j], scores, fill)
+        sc_ref[:] = scores
+
+        improves = jnp.any(jnp.max(scores, axis=1) > sv_ref[:, k - 1])
+
+        @pl.when(improves)
+        def _select():
+            tv, ti = binned_top2(sc_ref, j * blk, blk, nbins, fill)
+            cand_v = jnp.concatenate([sv_ref[:], tv], axis=1)
+            cand_i = jnp.concatenate([si_ref[:], ti], axis=1)
+            mv, mi = _extract_topk(cand_v, cand_i, k, fill)
+            sv_ref[:] = mv
+            si_ref[:] = mi
+
+        @pl.when(block_last[j] == 1)
+        def _emit():
+            out_v_ref[0, i] = sv_ref[:]
+            out_i_ref[0, i] = si_ref[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "blk", "group", "nbins", "interpret")
+)
+def cluster_major_scan_routed(
+    qi: jax.Array,
+    cq_blocks: jax.Array,
+    vectors_t: jax.Array,
+    block_first: jax.Array,
+    block_last: jax.Array,
+    rows_valid: jax.Array,
+    k: int,
+    blk: int = 2048,
+    group: int = 4,
+    nbins: int = 128,
+    bias: jax.Array | None = None,
+    interpret: bool | None = None,
+):
+    """Grouped cluster-major scan with in-kernel one-hot routing.
+
+    qi:        [B, D] the WHOLE query batch (int8 or f32; B ideally a
+               multiple of 128 — pad with zero rows).  Resident in VMEM
+               for the whole grid; no routed table ever exists in HBM.
+    cq_blocks: [nblocks, qcap, 1] int32 — per block, the routed query
+               indices of its cluster (−1 = empty slot).
+    Other args/returns as :func:`cluster_major_scan_grouped`.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if blk % nbins:
+        raise ValueError(f"blk={blk} must be a multiple of nbins={nbins}")
+    nblocks, qcap, one = cq_blocks.shape
+    if one != 1:
+        raise ValueError("cq_blocks must be [nblocks, qcap, 1]")
+    if nblocks % group:
+        raise ValueError(f"nblocks={nblocks} must be a multiple of group={group}")
+    b_total, d = qi.shape
+    if vectors_t.shape != (nblocks, d, blk):
+        raise ValueError(
+            f"vectors_t must be [nblocks, {d}, {blk}], got {vectors_t.shape}"
+        )
+    ngroups = nblocks // group
+
+    in_specs = [
+        pl.BlockSpec((b_total, d), lambda g, bf, bl, rv: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, group, qcap, 1), lambda g, bf, bl, rv: (g, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, group, d, blk), lambda g, bf, bl, rv: (g, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [
+        qi,
+        cq_blocks.reshape(ngroups, group, qcap, 1),
+        vectors_t.reshape(ngroups, group, d, blk),
+    ]
+    if bias is not None:
+        in_specs.append(
+            pl.BlockSpec((1, group, 1, blk), lambda g, bf, bl, rv: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        inputs.append(bias.reshape(ngroups, group, 1, blk))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(ngroups,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, group, qcap, k), lambda g, bf, bl, rv: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group, qcap, k), lambda g, bf, bl, rv: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((qcap, k), jnp.float32),
+            pltpu.VMEM((qcap, k), jnp.int32),
+            pltpu.VMEM((qcap, blk), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _routed_grouped_kernel, k=k, blk=blk, group=group, nbins=nbins,
+        has_bias=bias is not None,
+    )
+    pv, pr = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((ngroups, group, qcap, k), jnp.float32),
+            jax.ShapeDtypeStruct((ngroups, group, qcap, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nblocks * blk * d * qcap + 2 * nblocks * qcap * b_total * d,
+            bytes_accessed=nblocks * blk * d * vectors_t.dtype.itemsize
+            + b_total * d,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(block_first, block_last, rows_valid, *inputs)
+    return pv.reshape(nblocks, qcap, k), pr.reshape(nblocks, qcap, k)
+
+
 def _kernel(
     # scalar prefetch
     block_cluster, block_first, block_last, rows_valid,

@@ -94,3 +94,11 @@ def test_rescore_restores_exact_recall(small_data, dtype, engine):
     # rescored scores are exact fp32 dot products
     true = np.take_along_axis(queries @ base.T, ids.astype(np.int64), axis=1)
     np.testing.assert_allclose(scores, true, rtol=1e-5)
+
+
+def test_engine_auto_selection(small_data, rng):
+    """auto = xla for small N, pallas once the score matrix gets big."""
+    base, _ = small_data
+    assert BruteForceIndex(base, dtype="fp32").engine == "xla"
+    big = rng.uniform(0, 100, size=(100_000, 16)).astype(np.float32)
+    assert BruteForceIndex(big, dtype="fp32").engine == "pallas"

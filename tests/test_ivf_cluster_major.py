@@ -198,3 +198,21 @@ def test_empty_clusters_never_pollute_results(small_data):
     for row_ids, row_vals, q in zip(ids, vals, queries):
         m = row_ids >= 0
         np.testing.assert_allclose(row_vals[m], base[row_ids[m]] @ q, rtol=1e-2)
+
+
+@pytest.mark.parametrize("dtype,metric", [("fp32", "ip"), ("fp32", "l2"),
+                                          ("int8", "l2")])
+def test_routed_engine_matches_gather_engine(small_data, dtype, metric):
+    """In-kernel one-hot routing must give the same results as the
+    pre-gathered routed table."""
+    base, queries = small_data
+    idx = IVFIndex.build(base, nlist=16, metric=metric, dtype=dtype,
+                         seed=42, max_iter=10)
+    q = jnp.asarray(queries)
+    v_g, i_g, c_g = idx.search_device(q, k=10, nprobe=8, mode="cluster",
+                                      engine="pallas", rescore=True)
+    v_r, i_r, c_r = idx.search_device(q, k=10, nprobe=8, mode="cluster",
+                                      engine="pallas_routed", rescore=True)
+    np.testing.assert_array_equal(np.asarray(c_g), np.asarray(c_r))
+    np.testing.assert_array_equal(np.asarray(i_g), np.asarray(i_r))
+    np.testing.assert_allclose(np.asarray(v_g), np.asarray(v_r), rtol=1e-5)
