@@ -59,18 +59,22 @@ def main() -> None:
     # Sustained throughput over a stream of batch-32 searches — the same
     # methodology as the reference's 5208 QPS (total queries / total time
     # across sequential batch-32 graph executions, main.cpp:258-270).
+    # The 64-deep stream is the headline: it amortizes the axon relay's
+    # per-dispatch sync cost (which varies 2.5-30 ms run to run and
+    # dominates shallower chains), so it is both the capacity metric and
+    # the stable one; the 16-deep number is reported alongside.
     stream16 = _stream_qps(16)
     stream64 = _stream_qps(64)
     print(
         json.dumps(
             {
                 "metric": "siftsmall_int8_bruteforce_sustained_qps_b32",
-                "value": round(stream16, 1),
+                "value": round(stream64, 1),
                 "unit": "QPS",
-                "vs_baseline": round(stream16 / REFERENCE_QPS, 3),
+                "vs_baseline": round(stream64 / REFERENCE_QPS, 3),
                 "recall_at_5": round(r["recall"], 4),
                 "single_dispatch_qps_b32": round(r["qps"], 1),
-                "stream_qps_b32x64": round(stream64, 1),
+                "stream_qps_b32x16": round(stream16, 1),
                 "batch_latency_ms_p50": round(r["latency"].p50, 4),
             }
         )
