@@ -22,6 +22,7 @@ from __future__ import annotations
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from rag_on_edge_tpu.utils.metrics import LatencyStats
@@ -32,13 +33,21 @@ __all__ = ["measure_latency", "measure_throughput", "unique_variants"]
 def unique_variants(batches, copies: int, jitter: float = 1e-3):
     """[b0, b1, ...] → copies × len(batches) distinct device arrays.
 
-    Adds r·jitter to replica r — numerically irrelevant for scoring, but
-    defeats value-level result caching in the execution path.
+    Float inputs get r·jitter added to replica r — numerically irrelevant
+    for scoring, but defeats value-level result caching in the execution
+    path.  Integer inputs are ROW-ROLLED by r instead: adding a float
+    would silently promote them (an int8 input becomes f32 and times the
+    wrong kernel), and adding an int below 1 quantum is a no-op.
     """
     out = []
     for r in range(copies):
         for b in batches:
-            out.append(b if r == 0 else b + (r * jitter))
+            if r == 0:
+                out.append(b)
+            elif jnp.issubdtype(b.dtype, jnp.floating):
+                out.append(b + jnp.asarray(r * jitter, b.dtype))
+            else:
+                out.append(jnp.roll(b, r, axis=0))
     return jax.block_until_ready(out)
 
 

@@ -631,8 +631,11 @@ class IVFIndex:
 
         Kernel cost scales with qcap, so the cap trades throughput against
         spill on hot clusters (dropped pairs are counted and reported;
-        recall@1 stays ≥0.95 at 7% spill on synthetic SIFT-1M).  Pass an
-        explicit ``qcap`` (up to the batch size) for zero spill.
+        recall@1 stays ≥0.95 at 7% spill on synthetic SIFT-1M).  For
+        spill-free high-nprobe searches pass :meth:`required_qcap` (or an
+        explicit qcap; measured at nprobe=32/B=2048 on 1M: qcap=384 cuts
+        spill 7%→0.5% and lifts recall@10 0.961→0.996 at ~2.5x the batch
+        time — scoped VMEM caps qcap at 384 for blk=2048).
         """
         mean_load = batch * min(nprobe, self.nlist) / self.nlist
         cap = int(-(-capacity_factor * mean_load // 128) * 128)
