@@ -68,6 +68,7 @@ def run(
     quiet: bool = False,
     max_queries: int | None = None,
     pad_block: int | None = None,
+    recover: bool | None = None,
 ) -> list[dict]:
     ds = load_dataset(dataset, gt_k=max(k, 10))
     if max_queries:
@@ -97,10 +98,11 @@ def run(
     deploy_lines = [f"index_build_or_load_s: {build_s:.2f}"]
     for nprobe in nprobes:
         t0 = time.perf_counter()
-        index.compile(batch, k, nprobe, mode=mode)
+        index.compile(batch, k, nprobe, mode=mode)  # recover path compiles on first call
         compile_s = time.perf_counter() - t0
         deploy_lines.append(f"compile_nprobe{nprobe}_s: {compile_s:.2f}")
-        search = lambda q: index.search_device(q, k, nprobe, mode=mode)  # noqa: E731
+        search = lambda q: index.search_device(q, k, nprobe, mode=mode,  # noqa: E731
+                                               recover=recover)
         batches = _device_batches(ds.queries, batch)
         lat = timing.measure_latency(search, batches)
         qps = timing.measure_throughput(search, batches, repeats=repeats)
@@ -117,7 +119,8 @@ def run(
         ]
 
         ids, scores, avg_cand = index.search(
-            ds.queries, k=k, nprobe=nprobe, batch_size=batch, mode=mode
+            ds.queries, k=k, nprobe=nprobe, batch_size=batch, mode=mode,
+            recover=recover,
         )
         recall = metrics.recall_at_k(ids, gt, k) if gt is not None else float("nan")
         reduction = n / avg_cand if avg_cand else float("inf")

@@ -72,6 +72,7 @@ def sweep_ivf(
     mode: str = "auto",
     outdir: str = "results",
     pad_block: int | None = None,
+    recover: bool | None = None,
 ) -> list[dict]:
     """nprobe sweep (the reference's {8,16,32,64} with top_k=10,
     ``run_all_ivf.sh:26-27``) plus the recall-target summary of the
@@ -80,7 +81,7 @@ def sweep_ivf(
     rows = bench_ivf.run(
         dataset=dataset, nprobes=tuple(nprobes), k=k, batch=batch,
         nlist=nlist, dtype=dtype, metric=metric, mode=mode, outdir=out,
-        pad_block=pad_block,
+        pad_block=pad_block, recover=recover,
     )
     for line in recall_target_summary(rows):
         print(line)
@@ -106,13 +107,16 @@ def main(argv=None) -> None:
     pi.add_argument("--metric", default="ip", choices=["ip", "l2"])
     pi.add_argument("--mode", default="auto", choices=["auto", "query", "cluster"])
     pi.add_argument("--pad-block", type=int, default=None)
+    pi.add_argument("--recover", action=argparse.BooleanOptionalAction, default=None,
+                    help="spilled-pair recovery pass (default: auto, on at nprobe>=16)")
     pi.add_argument("--outdir", default="results")
     args = p.parse_args(argv)
     if args.cmd == "brute":
         sweep_bruteforce(args.dataset, tuple(args.batches), args.k, args.dtype, args.outdir)
     else:
         sweep_ivf(args.dataset, tuple(args.nprobe), args.k, args.batch, args.nlist,
-                  args.dtype, args.metric, args.mode, args.outdir, args.pad_block)
+                  args.dtype, args.metric, args.mode, args.outdir, args.pad_block,
+                  args.recover)
 
 
 if __name__ == "__main__":

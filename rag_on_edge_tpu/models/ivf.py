@@ -301,7 +301,8 @@ class IVFIndex:
         self.last_spill: jax.Array | None = None
         self._search_cm_jit = jax.jit(
             self._search_cluster_major_impl,
-            static_argnames=("k", "nprobe", "qcap", "engine", "rescore"),
+            static_argnames=("k", "nprobe", "qcap", "engine", "rescore",
+                             "recover_qcap", "recover_blocks"),
         )
         self._stream_jit = jax.jit(
             lambda arrays, qq, k, nprobe, pc: jax.lax.map(
@@ -466,12 +467,84 @@ class IVFIndex:
         self._arrays["rows_valid"] = jnp.asarray(rv)
         self._arrays["last_block"] = jnp.asarray(lb)
 
-    def _search_cluster_major_impl(self, arrays, queries: jax.Array, k: int, nprobe: int, qcap: int, engine: str = "xla", rescore: bool = False):
+    def _cm_recover(self, arrays, qi, probes, slot, bias, k: int,
+                    qcap2: int, cap_blocks: int, engine: str):
+        """Spilled-pair recovery: a second, SPARSE kernel pass over only the
+        clusters that dropped routing pairs in the main pass.
+
+        Spill concentrates in a few hot clusters (the MoE hot-expert
+        problem), so the spilled pairs are re-inverted into a fresh routed
+        table and the affected clusters' blocks are compacted into a short
+        static-capacity block list (``cap_blocks``) that a second
+        cluster-major scan walks via per-block ``row_base`` ids.  This keeps
+        the main pass at a small, fast ``qcap`` while recovering the recall
+        the reference-style fixed-capacity dispatch would lose — pairs the
+        recovery itself cannot place (capacity or block budget) remain
+        counted as residual spill.
+
+        qi: the kernel-ready query batch of the main pass (quantized /
+        augmented / padded exactly as the engine expects).
+        Returns (pv2 [cap_blocks, qcap2, k], pr2, slot2 [B, P],
+        cluster_inc [nlist] bool — cluster fully covered by this pass,
+        cluster_pos [nlist] i32 — row of its result in pv2).
+        """
+        bc_t = arrays["block_cluster"]
+        lb = arrays["last_block"]
+        spilled = slot < 0
+        # Re-invert only the spilled pairs; kept pairs are routed to a
+        # sentinel cluster whose table row is discarded.
+        probes2 = jnp.where(spilled, probes, self.nlist)
+        cq2, slot2, _ = invert_probes(probes2, self.nlist + 1, qcap2)
+        cq2 = cq2[: self.nlist]
+
+        # Compact the active clusters' blocks (stable order keeps each
+        # cluster's blocks consecutive, so inclusion is all-or-prefix and
+        # a cluster is fully covered iff its LAST block made the cut).
+        active_c = cq2[:, 0] >= 0
+        active_b = active_c[bc_t] & (arrays["rows_valid"] > 0)
+        rank = jnp.cumsum(active_b.astype(jnp.int32)) - 1
+        order = jnp.argsort(~active_b, stable=True).astype(jnp.int32)
+        blocks_list = order[:cap_blocks]
+        inc_b = active_b & (rank < cap_blocks)
+        inc_list = inc_b[blocks_list]
+        cluster_pos = jnp.clip(rank[lb], 0, cap_blocks - 1)
+        cluster_inc = active_c & inc_b[lb]
+
+        blk = self.PAD_BLOCK
+        vec2 = arrays["vectors_t"][blocks_list]
+        rv2 = jnp.where(inc_list, arrays["rows_valid"][blocks_list], 0)
+        bf2 = jnp.where(inc_list, arrays["block_first"][blocks_list], 0)
+        bl2 = jnp.where(inc_list, arrays["block_last"][blocks_list], 0)
+        rb2 = blocks_list * blk
+        bias2 = bias[blocks_list] if bias is not None else None
+        if engine == "pallas_routed":
+            cqb2 = cq2[bc_t[blocks_list]][..., None]
+            pv2, pr2 = pallas_ivf.cluster_major_scan_routed(
+                qi, cqb2, vec2, bf2, bl2, rv2,
+                k=k, blk=blk, group=self.CM_GROUP, bias=bias2, row_base=rb2,
+            )
+        else:
+            routed2 = (cq2 >= 0)[..., None]
+            qk2 = jnp.where(routed2, qi[jnp.clip(cq2, 0)], jnp.zeros((), qi.dtype))
+            qb2 = qk2[bc_t[blocks_list]]
+            pv2, pr2 = pallas_ivf.cluster_major_scan_grouped(
+                qb2, vec2, bf2, bl2, rv2,
+                k=k, blk=blk, group=self.CM_GROUP, bias=bias2, row_base=rb2,
+            )
+        return pv2, pr2, slot2, cluster_inc, cluster_pos
+
+    def _search_cluster_major_impl(self, arrays, queries: jax.Array, k: int,
+                                   nprobe: int, qcap: int, engine: str = "xla",
+                                   rescore: bool = False, recover_qcap: int = 0,
+                                   recover_blocks: int = 0):
         """Cluster-major search (see class docstring).
 
         Returns (scores [B,k] f32, ids [B,k] i32, n_candidates [B] i32,
         spill i32).  Exact within the probed set when spill == 0 (and, for
         quantized scans, when ``rescore`` re-ranks 2k candidates in fp32).
+        ``recover_qcap``/``recover_blocks`` > 0 enable the spilled-pair
+        recovery pass (:meth:`_cm_recover`, pallas engines only); the
+        returned spill is then the residual after recovery.
         """
         kk = min(2 * k, self.n) if rescore else k
         q = queries.astype(jnp.float32)
@@ -539,6 +612,26 @@ class IVFIndex:
                     arrays["rows_valid"],
                     k=kk, blk=self.PAD_BLOCK, group=self.CM_GROUP, bias=bias,
                 )
+            extra = None
+            if recover_qcap and recover_blocks:
+                pv2, pr2, slot2, cluster_inc, cluster_pos = self._cm_recover(
+                    arrays, qi, probes, slot, bias,
+                    k=kk, qcap2=recover_qcap, cap_blocks=recover_blocks,
+                    engine=engine,
+                )
+                if alpha is not None:
+                    pv2 = alpha * pv2
+                elif self.metric == "l2":
+                    pv2 = 2.0 * pv2
+                spilled = slot < 0
+                placed = (slot2 >= 0) & cluster_inc[probes]
+                ok2 = spilled & placed & (arrays["sizes"][probes] > 0)
+                row2 = cluster_pos[probes]
+                sl2 = jnp.clip(slot2, 0)
+                gv2 = jnp.where(ok2[..., None], pv2[row2, sl2], _NEG_INF)
+                gr2 = pr2[row2, sl2]
+                extra = (gv2.reshape(b, -1), gr2.reshape(b, -1))
+                spill = jnp.sum(spilled & ~placed).astype(jnp.int32)
             if alpha is not None:
                 pv = alpha * pv  # back to true-score units (−inf stays −inf)
             elif self.metric == "l2":
@@ -546,6 +639,7 @@ class IVFIndex:
             return self._cm_finish(
                 arrays, queries, probes, slot, pv, pr, k, kk, rescore,
                 n_candidates, spill, block_map=arrays["last_block"],
+                extra=extra,
             )
 
         # XLA fallback: lax.scan over clusters with max-size dynamic slices.
@@ -591,14 +685,16 @@ class IVFIndex:
         )
 
     def _cm_finish(self, arrays, queries, probes, slot, pv, pr, k, kk, rescore,
-                   n_candidates, spill, block_map=None):
+                   n_candidates, spill, block_map=None, extra=None):
         """STAGE 4 — per query, gather its (cluster, slot) partials,
         re-select (optionally fp32-rescoring the kk candidates), and map
         padded rows back to original ids.
 
         block_map: per-cluster row into pv/pr when the kernel emits
         per-BLOCK outputs (grouped engine: each cluster's result lives at
-        its last block); None when pv is indexed by cluster (XLA engine)."""
+        its last block); None when pv is indexed by cluster (XLA engine).
+        extra: optional (vals [B, E], rows [B, E]) additional candidates
+        (the spilled-pair recovery pass), joined before re-selection."""
         b = probes.shape[0]
         rows = probes if block_map is None else block_map[probes]
         # Empty probed clusters have no blocks, so the pallas engine never
@@ -608,6 +704,9 @@ class IVFIndex:
         sl = jnp.clip(slot, 0)
         gv = jnp.where(ok[..., None], pv[rows, sl], _NEG_INF).reshape(b, -1)
         gr = pr[rows, sl].reshape(b, -1)
+        if extra is not None:
+            gv = jnp.concatenate([gv, extra[0]], axis=1)
+            gr = jnp.concatenate([gr, extra[1]], axis=1)
         best_v, sel = topk.small_topk(gv, kk)
         best_r = jnp.take_along_axis(gr, sel, axis=1)
         if rescore:
@@ -674,6 +773,9 @@ class IVFIndex:
         qcap: int | None = None,
         engine: str = "pallas",
         rescore: bool | None = None,
+        recover: bool | None = None,
+        recover_qcap: int | None = None,
+        recover_blocks: int | None = None,
     ):
         """On-device search → (scores [B,k], ids [B,k], n_candidates [B]).
 
@@ -684,6 +786,13 @@ class IVFIndex:
         rescore: fp32 re-ranking of 2k candidates.  Defaults on for the
             pallas cluster engines (their bin-max selection is
             approximate) and for bf16 scans.
+        recover: spilled-pair recovery pass (pallas engines) — a second,
+            sparse kernel pass over only the clusters that dropped routing
+            pairs, so a small fast qcap no longer costs recall on hot
+            clusters (see :meth:`_cm_recover`).  Default: on when nprobe
+            is high enough for the capacity heuristic to spill (≥ 16).
+        recover_qcap / recover_blocks: capacity of the recovery pass
+            (default: qcap / nblocks/4).
         """
         b = queries.shape[0]
         if mode == "auto":
@@ -693,11 +802,22 @@ class IVFIndex:
                 mode == "cluster" and engine != "xla"
             )
         if mode == "cluster":
-            if engine in ("pallas", "pallas_routed"):
+            pallas_engine = engine in ("pallas", "pallas_routed")
+            if pallas_engine:
                 self._ensure_kernel_state()
+            if recover and not pallas_engine:
+                raise ValueError("recover requires a pallas cluster engine")
+            if recover is None:
+                recover = pallas_engine and nprobe >= 16
+            rq = rb = 0
+            if recover:
+                nblocks = self._arrays["vectors_t"].shape[0]
+                rq = recover_qcap or qcap or self._auto_qcap(b, nprobe)
+                rb = min(recover_blocks or max(1, nblocks // 4), nblocks)
+                rb = -(-rb // self.CM_GROUP) * self.CM_GROUP
             vals, ids, ncand, spill = self._search_cm_jit(
                 self._arrays, queries, k, nprobe,
-                qcap or self._auto_qcap(b, nprobe), engine, rescore
+                qcap or self._auto_qcap(b, nprobe), engine, rescore, rq, rb
             )
             self.last_spill = spill
             return vals, ids, ncand
@@ -737,6 +857,7 @@ class IVFIndex:
         mode: str = "auto",
         engine: str = "pallas",
         rescore: bool | None = None,
+        recover: bool | None = None,
     ):
         """Host API → (ids [Q,k] i32, scores [Q,k] f32, avg_candidates float)."""
         queries = np.asarray(queries, dtype=np.float32)
@@ -751,7 +872,8 @@ class IVFIndex:
             if pad:
                 chunk = np.pad(chunk, ((0, pad), (0, 0)))
             vals, ids, ncand = self.search_device(
-                jnp.asarray(chunk), k, nprobe, mode=mode, engine=engine, rescore=rescore
+                jnp.asarray(chunk), k, nprobe, mode=mode, engine=engine,
+                rescore=rescore, recover=recover,
             )
             got = bs - pad
             ids_out[start : start + got] = np.asarray(ids)[:got]
@@ -791,13 +913,33 @@ class IVFIndex:
 
     @classmethod
     def load(cls, index_dir: str) -> "IVFIndex":
+        """Load an index artifact set.
+
+        Accepts both layouts the reference's builders emit: the reordered
+        set (``create_ivf_model_reordered.py:148-160`` — what :meth:`save`
+        writes) and the scattered-CSR set (``create_ivf_model.py:151-166``:
+        original-order ``vectors.npy`` + ``cluster_indices.npy``).  A
+        scattered set is reordered at load time — the CSR indices ARE the
+        reorder map, so ``vectors[cluster_indices]`` is exactly the
+        cluster-contiguous layout (the device layout is always reordered;
+        scattered gathers were the reference's own bottleneck,
+        ``IVFIndex.cpp:675-686`` vs ``786-794``).
+        """
         with open(os.path.join(index_dir, cls._FILES["config"])) as f:
             config = json.load(f)
+        reordered_path = os.path.join(index_dir, cls._FILES["vectors"])
+        if os.path.exists(reordered_path):
+            vectors = np.load(reordered_path)
+            reorder = np.load(os.path.join(index_dir, cls._FILES["reorder"]))
+        else:
+            original = np.load(os.path.join(index_dir, "vectors.npy"))
+            reorder = np.load(os.path.join(index_dir, "cluster_indices.npy"))
+            vectors = original[reorder]
         return cls(
             np.load(os.path.join(index_dir, cls._FILES["centroids"])),
-            np.load(os.path.join(index_dir, cls._FILES["vectors"])),
+            vectors,
             np.load(os.path.join(index_dir, cls._FILES["offsets"])),
-            np.load(os.path.join(index_dir, cls._FILES["reorder"])),
+            reorder,
             metric=config.get("metric", "ip"),
             dtype=config.get("dtype", "fp32"),
             coarse_metric=config.get("coarse_metric", "l2"),

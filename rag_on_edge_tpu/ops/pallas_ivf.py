@@ -74,7 +74,7 @@ def build_block_tables(offsets: np.ndarray, sizes: np.ndarray, blk: int):
 
 def _grouped_kernel(
     # scalar prefetch
-    block_first, block_last, rows_valid,
+    block_first, block_last, rows_valid, row_base,
     # inputs: qb_ref, vec_ref, [bias_ref], then outputs and scratch
     qb_ref, vec_ref, *rest,
     k, blk, group, nbins, has_bias,
@@ -82,7 +82,11 @@ def _grouped_kernel(
     """Grouped walk: one grid step scores GROUP consecutive blocks with
     entirely regular index maps (the routed-query table is pre-gathered
     per block), amortizing the per-step dispatch/DMA overhead that
-    dominates the per-cluster variant (kernel_lab: ~7 µs/step floor)."""
+    dominates the per-cluster variant (kernel_lab: ~7 µs/step floor).
+
+    ``row_base[j]`` is the global row id of block j's first column —
+    ``j·blk`` for the dense walk, ``blocks_list[j]·blk`` when the caller
+    walks a compacted subset of blocks (the spilled-pair recovery pass)."""
     if has_bias:
         bias_ref, out_v_ref, out_i_ref, sv_ref, si_ref, sc_ref = rest
     else:
@@ -120,7 +124,7 @@ def _grouped_kernel(
 
         @pl.when(improves)
         def _select():
-            tv, ti = binned_top2(sc_ref, j * blk, blk, nbins, fill)
+            tv, ti = binned_top2(sc_ref, row_base[j], blk, nbins, fill)
             cand_v = jnp.concatenate([sv_ref[:], tv], axis=1)
             cand_i = jnp.concatenate([si_ref[:], ti], axis=1)
             mv, mi = _extract_topk(cand_v, cand_i, k, fill)
@@ -147,6 +151,7 @@ def cluster_major_scan_grouped(
     group: int = 4,
     nbins: int = 128,
     bias: jax.Array | None = None,
+    row_base: jax.Array | None = None,
     interpret: bool | None = None,
 ):
     """Grouped cluster-major fine scan (see :func:`_grouped_kernel`).
@@ -157,6 +162,9 @@ def cluster_major_scan_grouped(
     vectors_t: [nblocks, D, blk] block-tiled slabs; nblocks must be a
                multiple of ``group`` (pad with rows_valid == 0 dummies).
     bias:      optional [nblocks, 1, blk] (int8-L2 bias per block).
+    row_base:  optional [nblocks] i32 global row id of each block's first
+               column (defaults to ``arange(nblocks)·blk``); pass
+               ``blocks_list·blk`` when scanning a compacted block subset.
     Returns (pv, pr) of shape [nblocks, qcap, k]; only rows at each
     cluster's ``last_block`` are defined — join via ``pv[last_block[c]]``.
     """
@@ -172,11 +180,13 @@ def cluster_major_scan_grouped(
             f"vectors_t must be [nblocks, {d}, {blk}], got {vectors_t.shape}"
         )
     ngroups = nblocks // group
+    if row_base is None:
+        row_base = jnp.arange(nblocks, dtype=jnp.int32) * blk
 
     in_specs = [
-        pl.BlockSpec((1, group, qcap, d), lambda g, bf, bl, rv: (g, 0, 0, 0),
+        pl.BlockSpec((1, group, qcap, d), lambda g, bf, bl, rv, rb: (g, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, group, d, blk), lambda g, bf, bl, rv: (g, 0, 0, 0),
+        pl.BlockSpec((1, group, d, blk), lambda g, bf, bl, rv, rb: (g, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     inputs = [
@@ -185,19 +195,19 @@ def cluster_major_scan_grouped(
     ]
     if bias is not None:
         in_specs.append(
-            pl.BlockSpec((1, group, 1, blk), lambda g, bf, bl, rv: (g, 0, 0, 0),
+            pl.BlockSpec((1, group, 1, blk), lambda g, bf, bl, rv, rb: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM)
         )
         inputs.append(bias.reshape(ngroups, group, 1, blk))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(ngroups,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, group, qcap, k), lambda g, bf, bl, rv: (g, 0, 0, 0),
+            pl.BlockSpec((1, group, qcap, k), lambda g, bf, bl, rv, rb: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, group, qcap, k), lambda g, bf, bl, rv: (g, 0, 0, 0),
+            pl.BlockSpec((1, group, qcap, k), lambda g, bf, bl, rv, rb: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -224,13 +234,13 @@ def cluster_major_scan_grouped(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(block_first, block_last, rows_valid, *inputs)
+    )(block_first, block_last, rows_valid, row_base, *inputs)
     return pv.reshape(nblocks, qcap, k), pr.reshape(nblocks, qcap, k)
 
 
 def _routed_grouped_kernel(
     # scalar prefetch
-    block_first, block_last, rows_valid,
+    block_first, block_last, rows_valid, row_base,
     # inputs: qi_ref (resident), cq_ref, vec_ref, [bias_ref], outs, scratch
     qi_ref, cq_ref, vec_ref, *rest,
     k, blk, group, nbins, has_bias,
@@ -286,7 +296,7 @@ def _routed_grouped_kernel(
 
         @pl.when(improves)
         def _select():
-            tv, ti = binned_top2(sc_ref, j * blk, blk, nbins, fill)
+            tv, ti = binned_top2(sc_ref, row_base[j], blk, nbins, fill)
             cand_v = jnp.concatenate([sv_ref[:], tv], axis=1)
             cand_i = jnp.concatenate([si_ref[:], ti], axis=1)
             mv, mi = _extract_topk(cand_v, cand_i, k, fill)
@@ -314,6 +324,7 @@ def cluster_major_scan_routed(
     group: int = 4,
     nbins: int = 128,
     bias: jax.Array | None = None,
+    row_base: jax.Array | None = None,
     interpret: bool | None = None,
 ):
     """Grouped cluster-major scan with in-kernel one-hot routing.
@@ -340,13 +351,15 @@ def cluster_major_scan_routed(
             f"vectors_t must be [nblocks, {d}, {blk}], got {vectors_t.shape}"
         )
     ngroups = nblocks // group
+    if row_base is None:
+        row_base = jnp.arange(nblocks, dtype=jnp.int32) * blk
 
     in_specs = [
-        pl.BlockSpec((b_total, d), lambda g, bf, bl, rv: (0, 0),
+        pl.BlockSpec((b_total, d), lambda g, bf, bl, rv, rb: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, group, qcap, 1), lambda g, bf, bl, rv: (g, 0, 0, 0),
+        pl.BlockSpec((1, group, qcap, 1), lambda g, bf, bl, rv, rb: (g, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, group, d, blk), lambda g, bf, bl, rv: (g, 0, 0, 0),
+        pl.BlockSpec((1, group, d, blk), lambda g, bf, bl, rv, rb: (g, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     inputs = [
@@ -356,19 +369,19 @@ def cluster_major_scan_routed(
     ]
     if bias is not None:
         in_specs.append(
-            pl.BlockSpec((1, group, 1, blk), lambda g, bf, bl, rv: (g, 0, 0, 0),
+            pl.BlockSpec((1, group, 1, blk), lambda g, bf, bl, rv, rb: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM)
         )
         inputs.append(bias.reshape(ngroups, group, 1, blk))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(ngroups,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, group, qcap, k), lambda g, bf, bl, rv: (g, 0, 0, 0),
+            pl.BlockSpec((1, group, qcap, k), lambda g, bf, bl, rv, rb: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, group, qcap, k), lambda g, bf, bl, rv: (g, 0, 0, 0),
+            pl.BlockSpec((1, group, qcap, k), lambda g, bf, bl, rv, rb: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -395,7 +408,7 @@ def cluster_major_scan_routed(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(block_first, block_last, rows_valid, *inputs)
+    )(block_first, block_last, rows_valid, row_base, *inputs)
     return pv.reshape(nblocks, qcap, k), pr.reshape(nblocks, qcap, k)
 
 

@@ -78,6 +78,30 @@ def test_save_load_roundtrip(tmp_path, small_data, ivf_ip):
     for f in loaded._FILES.values():
         assert (tmp_path / "index" / f).exists()
 
+def test_load_scattered_csr_artifacts(tmp_path, small_data, ivf_ip):
+    """A reference-format scattered index set (create_ivf_model.py:151-166:
+    original-order vectors.npy + CSR cluster_indices.npy) loads and searches
+    identically to the reordered set it was derived from."""
+    import json, os
+    _, queries = small_data
+    d = tmp_path / "scattered"
+    os.makedirs(d)
+    # reconstruct the scattered artifacts from the reordered index
+    reorder = ivf_ip._reorder_np                      # reordered row -> original id
+    original = np.empty_like(ivf_ip._vectors_np)
+    original[reorder] = ivf_ip._vectors_np            # back to original order
+    np.save(d / "vectors.npy", original)
+    np.save(d / "cluster_indices.npy", reorder)       # CSR indices == reorder map
+    np.save(d / "centroids.npy", ivf_ip._centroids_np)
+    np.save(d / "cluster_offsets.npy", ivf_ip._offsets_np)
+    with open(d / "ivf_config.json", "w") as f:
+        json.dump({k: v for k, v in ivf_ip.config.items()}, f)
+    loaded = IVFIndex.load(str(d))
+    ids_a, s_a, _ = ivf_ip.search(queries, k=5, nprobe=4)
+    ids_b, s_b, _ = loaded.search(queries, k=5, nprobe=4)
+    np.testing.assert_array_equal(ids_a, ids_b)
+    np.testing.assert_allclose(s_a, s_b, rtol=1e-6)
+
 
 def test_bf16_fine_scan(small_data):
     base, queries = small_data

@@ -216,3 +216,63 @@ def test_routed_engine_matches_gather_engine(small_data, dtype, metric):
     np.testing.assert_array_equal(np.asarray(c_g), np.asarray(c_r))
     np.testing.assert_array_equal(np.asarray(i_g), np.asarray(i_r))
     np.testing.assert_allclose(np.asarray(v_g), np.asarray(v_r), rtol=1e-5)
+
+
+@pytest.mark.parametrize("engine", ["pallas", "pallas_routed"])
+def test_spill_recovery_restores_results(small_data, ivf, engine):
+    """The spilled-pair recovery pass must make a tiny-qcap search
+    equivalent to a zero-spill (qcap=B) search."""
+    _, queries = small_data
+    q = jnp.asarray(queries)
+    b = q.shape[0]
+    v_ref, i_ref, c_ref = ivf.search_device(
+        q, k=10, nprobe=8, mode="cluster", qcap=b, engine=engine, recover=False)
+    assert int(ivf.last_spill) == 0
+    # A deliberately tiny qcap spills without recovery...
+    ivf.search_device(q, k=10, nprobe=8, mode="cluster", qcap=8,
+                      engine=engine, recover=False)
+    assert int(ivf.last_spill) > 0
+    # ...and recovery brings residual spill to zero and restores results.
+    nblocks = ivf._arrays["vectors_t"].shape[0]
+    v1, i1, c1 = ivf.search_device(
+        q, k=10, nprobe=8, mode="cluster", qcap=8, engine=engine,
+        recover=True, recover_qcap=b, recover_blocks=nblocks)
+    assert int(ivf.last_spill) == 0
+    np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c1))
+    np.testing.assert_allclose(np.sort(np.asarray(v_ref)), np.sort(np.asarray(v1)),
+                               rtol=1e-5)
+    assert recall_at_k(np.asarray(i1), np.asarray(i_ref), 10) == 1.0
+
+
+def test_spill_recovery_int8_l2(small_data):
+    base, queries = small_data
+    idx = IVFIndex.build(base, nlist=16, metric="l2", dtype="int8",
+                         seed=42, max_iter=10)
+    q = jnp.asarray(queries)
+    b = q.shape[0]
+    v_ref, i_ref, _ = idx.search_device(q, k=10, nprobe=8, mode="cluster",
+                                        qcap=b, recover=False)
+    idx._ensure_kernel_state()
+    nblocks = idx._arrays["vectors_t"].shape[0]
+    v1, i1, _ = idx.search_device(q, k=10, nprobe=8, mode="cluster", qcap=8,
+                                  recover=True, recover_qcap=b,
+                                  recover_blocks=nblocks)
+    assert int(idx.last_spill) == 0
+    assert recall_at_k(np.asarray(i1), np.asarray(i_ref), 10) == 1.0
+    np.testing.assert_allclose(np.sort(np.asarray(v_ref)), np.sort(np.asarray(v1)),
+                               rtol=1e-5)
+
+
+def test_spill_recovery_residual_counted(small_data, ivf):
+    """When the recovery pass itself runs out of capacity, the leftover is
+    reported as residual spill (never silently lost)."""
+    _, queries = small_data
+    q = jnp.asarray(queries)
+    ivf.search_device(q, k=10, nprobe=8, mode="cluster", qcap=8,
+                      recover=False)
+    full_spill = int(ivf.last_spill)
+    ivf.search_device(q, k=10, nprobe=8, mode="cluster", qcap=8,
+                      recover=True, recover_qcap=2,
+                      recover_blocks=ivf._arrays["vectors_t"].shape[0])
+    residual = int(ivf.last_spill)
+    assert 0 < residual < full_spill
