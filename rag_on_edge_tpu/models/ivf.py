@@ -740,6 +740,18 @@ class IVFIndex:
         cap = int(-(-capacity_factor * mean_load // 128) * 128)
         return max(128, min(batch, 256, cap))
 
+    def _auto_recover(self, batch: int, nprobe: int,
+                      capacity_factor: float = 8.0) -> bool:
+        """Recovery is worth its cost exactly when ``_auto_qcap`` was
+        clamped below its capacity-factor target (only then do hot clusters
+        spill: measured on SIFT-1M B=2048, spill is 0 up to nprobe=16 where
+        qcap ≥ 8x the mean load, and 4.5K pairs at nprobe=32 where the 256
+        cap is 4x the mean load)."""
+        mean_load = batch * min(nprobe, self.nlist) / self.nlist
+        qcap = self._auto_qcap(batch, nprobe, capacity_factor)
+        # qcap >= batch can never spill: a cluster's load is at most B.
+        return qcap < batch and qcap < capacity_factor * mean_load
+
     def required_qcap(self, queries: jax.Array | np.ndarray, nprobe: int,
                       multiple: int = 32) -> int:
         """Smallest routing capacity with ZERO spill for this batch: the max
@@ -789,8 +801,9 @@ class IVFIndex:
         recover: spilled-pair recovery pass (pallas engines) — a second,
             sparse kernel pass over only the clusters that dropped routing
             pairs, so a small fast qcap no longer costs recall on hot
-            clusters (see :meth:`_cm_recover`).  Default: on when nprobe
-            is high enough for the capacity heuristic to spill (≥ 16).
+            clusters (see :meth:`_cm_recover`).  Default: on exactly when
+            the auto-qcap heuristic was clamped below its capacity-factor
+            target, the regime where spill appears (:meth:`_auto_recover`).
         recover_qcap / recover_blocks: capacity of the recovery pass
             (default: qcap / nblocks/4).
         """
@@ -808,7 +821,7 @@ class IVFIndex:
             if recover and not pallas_engine:
                 raise ValueError("recover requires a pallas cluster engine")
             if recover is None:
-                recover = pallas_engine and nprobe >= 16
+                recover = pallas_engine and self._auto_recover(b, nprobe)
             rq = rb = 0
             if recover:
                 nblocks = self._arrays["vectors_t"].shape[0]

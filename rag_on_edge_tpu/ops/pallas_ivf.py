@@ -414,7 +414,7 @@ def cluster_major_scan_routed(
 
 def _kernel(
     # scalar prefetch
-    block_cluster, block_first, block_last, rows_valid,
+    block_cluster, block_first, block_last, rows_valid, row_base,
     # inputs: q_ref, vec_ref, [bias_ref], then outputs and scratch
     q_ref, vec_ref, *rest,
     k, blk, nbins, has_bias,
@@ -459,7 +459,7 @@ def _kernel(
         # brute-force kernel; TPU-KNN PartialReduce, arXiv:2206.14286) —
         # lost near-duplicates are recovered statistically by the k' > k
         # candidate pool + fp32 rescore downstream.
-        tv, ti = binned_top2(sc_ref, j * blk, blk, nbins, fill)
+        tv, ti = binned_top2(sc_ref, row_base[j], blk, nbins, fill)
         # Merge into the running top-k (narrow: k + 2*nbins wide).
         cand_v = jnp.concatenate([sv_ref[:], tv], axis=1)
         cand_i = jnp.concatenate([si_ref[:], ti], axis=1)
@@ -485,6 +485,7 @@ def cluster_major_scan(
     blk: int = 512,
     nbins: int = 128,
     bias: jax.Array | None = None,
+    row_base: jax.Array | None = None,
     interpret: bool | None = None,
 ):
     """Inner-product fine-scan of every cluster against its routed queries.
@@ -503,6 +504,10 @@ def cluster_major_scan(
                the int8 L2 path passes ``‖b‖² / (2·sq·sb)`` here so the
                kernel needs no quantization scales (per-row ranking is
                invariant to the positive factor 2·sq·sb).
+    row_base:  optional [nblocks] i32 global row id of each block's first
+               column (defaults to ``arange(nblocks)·blk``); pass
+               ``blocks_list·blk`` when scanning a compacted block subset
+               (the spilled-pair recovery pass).
     Returns (pv [nlist, qcap, k] f32, pr [nlist, qcap, k] i32 — global row
     ids into the padded layout).  Slots not recorded by the probe
     inversion carry garbage; the join must not read them.
@@ -520,13 +525,15 @@ def cluster_major_scan(
             f"vectors_t must be block-tiled [nblocks, {d}, {blk}], got {vectors_t.shape}"
         )
 
+    if row_base is None:
+        row_base = jnp.arange(nblocks, dtype=jnp.int32) * blk
     in_specs = [
         pl.BlockSpec(
-            (1, qcap, d), lambda j, bc, bf, bl, rv: (bc[j], 0, 0),
+            (1, qcap, d), lambda j, bc, bf, bl, rv, rb: (bc[j], 0, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (1, d, blk), lambda j, bc, bf, bl, rv: (j, 0, 0),
+            (1, d, blk), lambda j, bc, bf, bl, rv, rb: (j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     ]
@@ -534,22 +541,22 @@ def cluster_major_scan(
     if bias is not None:
         in_specs.append(
             pl.BlockSpec(
-                (1, blk), lambda j, bc, bf, bl, rv: (0, j), memory_space=pltpu.VMEM
+                (1, blk), lambda j, bc, bf, bl, rv, rb: (0, j), memory_space=pltpu.VMEM
             )
         )
         inputs.append(bias)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(nblocks,),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
-                (1, qcap, k), lambda j, bc, bf, bl, rv: (bc[j], 0, 0),
+                (1, qcap, k), lambda j, bc, bf, bl, rv, rb: (bc[j], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, qcap, k), lambda j, bc, bf, bl, rv: (bc[j], 0, 0),
+                (1, qcap, k), lambda j, bc, bf, bl, rv, rb: (bc[j], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -576,5 +583,5 @@ def cluster_major_scan(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(block_cluster, block_first, block_last, rows_valid, *inputs)
+    )(block_cluster, block_first, block_last, rows_valid, row_base, *inputs)
     return pv, pr

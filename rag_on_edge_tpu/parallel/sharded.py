@@ -346,7 +346,8 @@ class ShardedIVFIndex:
             self._make_sharded_fn(), static_argnames=("k", "nprobe", "probe_chunk")
         )
         self._search_cm_jit = jax.jit(
-            self._make_cluster_major_fn(), static_argnames=("k", "nprobe", "qcap")
+            self._make_cluster_major_fn(),
+            static_argnames=("k", "nprobe", "qcap", "recover_qcap", "recover_blocks"),
         )
 
     # ------------------------------------------------- cluster-major (pallas)
@@ -464,7 +465,8 @@ class ShardedIVFIndex:
         get_scale = lambda: self._cm_base_scale  # noqa: E731 — set by _ensure_cluster_state
 
         def shard_body(q, cents, c_norms, vecs_t, vecs, reorder, bc, bf, bl, rv,
-                       cluster_shard, sizes, v_norms, k, nprobe, qcap):
+                       cluster_shard, sizes, v_norms, k, nprobe, qcap,
+                       recover_qcap, recover_blocks):
             vecs_t, vecs, reorder = vecs_t[0], vecs[0], reorder[0]
             bc, bf, bl, rv, v_norms = bc[0], bf[0], bl[0], rv[0], v_norms[0]
             kk = 2 * k
@@ -484,34 +486,92 @@ class ShardedIVFIndex:
                 # (replicated q → identical on every shard), L2 as a bias
                 # column over the local norms, alpha-rescale after.
                 sq = quantize.calibrate_scale(q)
-                qi = jnp.clip(jnp.round(q / sq), -127, 127).astype(jnp.int8)
-                qg = jnp.where(routed, qi[jnp.clip(cq, 0)], jnp.int8(0))
+                qrow = jnp.clip(jnp.round(q / sq), -127, 127).astype(jnp.int8)
                 alpha = sq * jnp.float32(get_scale())
                 if metric == "l2":
                     alpha = 2.0 * alpha
                     bias = (v_norms / alpha)[None, :]
             else:
-                qg = jnp.where(routed, q[jnp.clip(cq, 0)], 0.0)
+                qrow = q
                 if metric == "l2":
-                    qg = jnp.concatenate([qg, jnp.where(routed, 1.0, 0.0)], axis=-1)
-                qg = qg.astype(vecs_t.dtype)
+                    qrow = jnp.concatenate(
+                        [qrow, jnp.ones((q.shape[0], 1), qrow.dtype)], axis=-1
+                    )
+                qrow = qrow.astype(vecs_t.dtype)
+            qg = jnp.where(routed, qrow[jnp.clip(cq, 0)], jnp.zeros((), qrow.dtype))
 
             # Sharded fine stage: each chip scans only its local blocks.
             pv, pr = pallas_ivf.cluster_major_scan(
                 qg, vecs_t, bc, bf, bl, rv, k=kk, blk=blk, bias=bias
             )
-            if alpha is not None:
-                pv = alpha * pv
-            elif metric == "l2":
-                pv = 2.0 * pv
 
-            # Join over locally-owned, recorded, non-empty pairs only.
             b = q.shape[0]
             me = jax.lax.axis_index(axis)
-            ok = (slot >= 0) & (cluster_shard[probes] == me) & (sizes[probes] > 0)
+            owned = cluster_shard[probes] == me
+            extra = None
+            if recover_qcap and recover_blocks:
+                # Spilled-pair recovery (IVFIndex._cm_recover, sharded form):
+                # re-invert the dropped pairs and walk a compacted list of
+                # the affected clusters' LOCAL blocks; outputs stay indexed
+                # by global cluster id, so the join below reads them the
+                # same way as the main pass.
+                nblocks_local = vecs_t.shape[0]
+                spilled = slot < 0
+                probes2 = jnp.where(spilled, probes, nlist)
+                cq2, slot2, _ = invert_probes(probes2, nlist + 1, recover_qcap)
+                cq2 = cq2[:nlist]
+                active_c = cq2[:, 0] >= 0
+                active_b = active_c[bc] & (rv > 0)
+                rank = jnp.cumsum(active_b.astype(jnp.int32)) - 1
+                order = jnp.argsort(~active_b, stable=True).astype(jnp.int32)
+                blocks_list = order[:recover_blocks]
+                inc_b = active_b & (rank < recover_blocks)
+                inc_list = inc_b[blocks_list]
+                # A cluster is covered iff its last real local block made
+                # the cut (stable compaction keeps blocks consecutive).
+                blk_ids = jnp.where(rv > 0, jnp.arange(nblocks_local, dtype=jnp.int32), -1)
+                last_blk = jnp.full((nlist,), -1, jnp.int32).at[bc].max(blk_ids, mode="drop")
+                cluster_inc = active_c & (last_blk >= 0) & inc_b[jnp.clip(last_blk, 0)]
+                routed2 = (cq2 >= 0)[..., None]
+                qg2 = jnp.where(routed2, qrow[jnp.clip(cq2, 0)], jnp.zeros((), qrow.dtype))
+                bias2 = None
+                if bias is not None:
+                    bias2 = bias.reshape(nblocks_local, blk)[blocks_list].reshape(1, -1)
+                pv2, pr2 = pallas_ivf.cluster_major_scan(
+                    qg2, vecs_t[blocks_list], bc[blocks_list],
+                    jnp.where(inc_list, bf[blocks_list], 0),
+                    jnp.where(inc_list, bl[blocks_list], 0),
+                    jnp.where(inc_list, rv[blocks_list], 0),
+                    k=kk, blk=blk, bias=bias2, row_base=blocks_list * blk,
+                )
+                placed = (slot2 >= 0) & cluster_inc[probes]
+                ok2 = spilled & placed & owned & (sizes[probes] > 0)
+                sl2 = jnp.clip(slot2, 0)
+                extra = (
+                    jnp.where(ok2[..., None], pv2[probes, sl2], _NEG_INF),
+                    pr2[probes, sl2],
+                )
+                spill = jax.lax.psum(
+                    jnp.sum(spilled & owned & ~placed), axis
+                ).astype(jnp.int32)
+
+            if alpha is not None:
+                pv = alpha * pv  # −inf stays −inf
+                if extra is not None:
+                    extra = (alpha * extra[0], extra[1])
+            elif metric == "l2":
+                pv = 2.0 * pv
+                if extra is not None:
+                    extra = (2.0 * extra[0], extra[1])
+
+            # Join over locally-owned, recorded, non-empty pairs only.
+            ok = (slot >= 0) & owned & (sizes[probes] > 0)
             sl = jnp.clip(slot, 0)
             gv = jnp.where(ok[..., None], pv[probes, sl], _NEG_INF).reshape(b, -1)
             gr = pr[probes, sl].reshape(b, -1)
+            if extra is not None:
+                gv = jnp.concatenate([gv, extra[0].reshape(b, -1)], axis=1)
+                gr = jnp.concatenate([gr, extra[1].reshape(b, -1)], axis=1)
             best_v, sel = topk_ops.small_topk(gv, kk)
             best_r = jnp.take_along_axis(gr, sel, axis=1)
             # fp32 rescore of local candidates (binned kernel selection is
@@ -545,8 +605,11 @@ class ShardedIVFIndex:
         )
 
         def fn(q, cents, c_norms, vecs_t, vecs, reorder, bc, bf, bl, rv,
-               cluster_shard, sizes, v_norms, k, nprobe, qcap):
-            body = functools.partial(shard_body, k=k, nprobe=nprobe, qcap=qcap)
+               cluster_shard, sizes, v_norms, k, nprobe, qcap,
+               recover_qcap, recover_blocks):
+            body = functools.partial(shard_body, k=k, nprobe=nprobe, qcap=qcap,
+                                     recover_qcap=recover_qcap,
+                                     recover_blocks=recover_blocks)
             return jax.shard_map(
                 body, mesh=self.mesh, in_specs=in_specs,
                 out_specs=(P(None, None), P(None, None), P(None), P(None)),
@@ -624,20 +687,34 @@ class ShardedIVFIndex:
         return self._src_index._auto_qcap(batch, nprobe)
 
     def search_device(self, queries, k: int, nprobe: int, probe_chunk: int | None = None,
-                      mode: str = "query", qcap: int | None = None):
+                      mode: str = "query", qcap: int | None = None,
+                      recover: bool | None = None,
+                      recover_qcap: int | None = None,
+                      recover_blocks: int | None = None):
         """mode "query": per-shard gather fine scan (exact).  mode
         "cluster": per-shard cluster-major Pallas kernel (binned + fp32
-        rescore) — the batch-scale path."""
+        rescore) — the batch-scale path.  ``recover`` enables the
+        spilled-pair recovery pass per shard (default: on exactly when the
+        auto-qcap heuristic is clamped into the spilling regime, as on the
+        single-chip index)."""
         c_norms = self._centroid_norms if self.coarse_metric == "l2" else jnp.zeros(())
         if mode == "cluster":
             self._ensure_cluster_state()
             a = self._cm_arrays
+            if recover is None:
+                recover = self._src_index._auto_recover(queries.shape[0], nprobe)
+            rq = rb = 0
+            if recover:
+                nblocks_local = a["vectors_t"].shape[1]
+                rq = recover_qcap or qcap or self._auto_qcap(queries.shape[0], nprobe)
+                rb = min(recover_blocks or max(1, nblocks_local // 4), nblocks_local)
             vals, ids, ncand, spill = self._search_cm_jit(
                 queries, self._centroids, c_norms,
                 a["vectors_t"], a["vectors"], a["reorder"],
                 a["bc"], a["bf"], a["bl"], a["rv"],
                 a["cluster_shard"], a["sizes"], a["vector_norms"],
                 k, nprobe, qcap or self._auto_qcap(queries.shape[0], nprobe),
+                rq, rb,
             )
             self.last_spill = spill[0]
             return vals, ids, ncand

@@ -157,3 +157,28 @@ def test_sharded_cluster_major_int8(small_data, mesh, metric):
     assert recall_at_k(ids_m, ids_s, 10) >= 0.95
     agree = ids_m == ids_s
     np.testing.assert_allclose(v_m[agree], v_s[agree], rtol=1e-4)
+
+
+def test_sharded_spill_recovery(small_data, mesh):
+    """A tiny qcap spills; the per-shard recovery pass must restore the
+    zero-spill results and report zero residual spill."""
+    import jax.numpy as jnp
+    base, queries = small_data
+    single = IVFIndex.build(base, nlist=16, metric="ip", seed=42, max_iter=10)
+    sharded = ShardedIVFIndex(single, mesh)
+    q = jnp.asarray(queries)
+    b = q.shape[0]
+    v_ref, i_ref, c_ref = sharded.search_device(q, k=10, nprobe=8, mode="cluster",
+                                                qcap=b, recover=False)
+    assert int(sharded.last_spill) == 0
+    sharded.search_device(q, k=10, nprobe=8, mode="cluster", qcap=8, recover=False)
+    assert int(sharded.last_spill) > 0
+    nblocks_local = sharded._cm_arrays["vectors_t"].shape[1]
+    v1, i1, c1 = sharded.search_device(q, k=10, nprobe=8, mode="cluster", qcap=8,
+                                       recover=True, recover_qcap=b,
+                                       recover_blocks=nblocks_local)
+    assert int(sharded.last_spill) == 0
+    np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c1))
+    np.testing.assert_allclose(np.sort(np.asarray(v_ref)), np.sort(np.asarray(v1)),
+                               rtol=1e-5)
+    assert recall_at_k(np.asarray(i1), np.asarray(i_ref), 10) == 1.0
