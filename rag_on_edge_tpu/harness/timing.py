@@ -90,8 +90,15 @@ def measure_throughput(fn, batches, warmup: int = 2, repeats: int = 10) -> float
         return float(np.asarray(carry))
 
     # Warmup compiles both call forms (plain first call + chained call)
-    # on ad-hoc variants that never reappear in the timed chain.
-    run_chain([variants[0], variants[0] + 7.7])
+    # on ad-hoc variants that never reappear in the timed chain.  Integer
+    # inputs are rolled, not offset — adding a float would silently
+    # promote them and compile (and warm) the wrong kernel.
+    v0 = variants[0]
+    if jnp.issubdtype(v0.dtype, jnp.floating):
+        w0 = v0 + jnp.asarray(7.7, v0.dtype)
+    else:
+        w0 = jnp.roll(v0, 7, axis=0)
+    run_chain([v0, w0])
     del warmup
     timed = variants[n:]
     n_queries = sum(int(b.shape[0]) for b in timed)

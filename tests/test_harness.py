@@ -61,3 +61,18 @@ def test_recall_target_summary():
     lines = sweep.recall_target_summary(rows, targets=(0.95, 0.80))
     assert "nprobe=8" in lines[0]
     assert "nprobe=4" in lines[1]  # fastest config meeting 80%
+
+
+def test_bench_gemm_run():
+    """The spatial-GEMM benchmark (AIE host-driver contract) runs on the
+    CPU mesh, verifies its output, and reports GFLOPs."""
+    from rag_on_edge_tpu.harness import bench_gemm
+
+    res = bench_gemm.run(m=32, k=64, n=256, dtype="int8", rows=2, cols=2,
+                         iters=3, stack=2, quiet=True)
+    assert res["verified"]
+    assert res["gflops_sustained"] > 0
+    # fp32 on the xla path too
+    res = bench_gemm.run(m=32, k=64, n=256, dtype="fp32", rows=2, cols=2,
+                         iters=3, stack=2, pallas=False, quiet=True)
+    assert res["verified"]
