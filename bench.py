@@ -41,6 +41,36 @@ def _stream_qps(micro_batches: int = 16, batch: int = 32, k: int = 5) -> float:
     return qps_per_row * batch  # rows are micro-batches of `batch` queries
 
 
+def _ivf_1m_qps(batch: int = 8192, nprobe: int = 4, k: int = 10):
+    """SIFT-1M IVF capacity point (B=8192, int8 cluster-major kernel,
+    fp32 rescore) — see RESULTS.md batch-scaling table.  Guarded: any
+    failure (cold caches, memory) must not cost the primary headline."""
+    try:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from rag_on_edge_tpu.harness import timing
+        from rag_on_edge_tpu.models.ivf import IVFIndex
+        from rag_on_edge_tpu.utils.datasets import load_dataset
+        from rag_on_edge_tpu.utils.metrics import recall_at_k
+
+        ds = load_dataset("sift", gt_k=k)
+        idx = IVFIndex.build(ds.base, nlist=1024, metric="l2", dtype="int8",
+                             seed=42, max_iter=20, pad_block=2048)
+        nq = ds.queries.shape[0]
+        qs = np.resize(ds.queries, (batch, ds.queries.shape[1]))
+        gt = ds.ground_truth_l2
+        f = lambda x: idx.search_device(x, k, nprobe, mode="cluster")  # noqa: E731
+        _, ids, _ = jax.block_until_ready(f(jnp.asarray(qs)))
+        recall = recall_at_k(np.asarray(ids)[:nq], gt[:nq], k)
+        batches = [jnp.asarray(b) for b in timing.unique_variants([qs], copies=4)]
+        qps = timing.measure_throughput(f, batches, repeats=3)
+        return round(qps, 1), round(float(recall), 4)
+    except Exception:
+        return None, None
+
+
 def main() -> None:
     from rag_on_edge_tpu.utils.cache import enable_compilation_cache
 
@@ -65,6 +95,7 @@ def main() -> None:
     # the stable one; the 16-deep number is reported alongside.
     stream16 = _stream_qps(16)
     stream64 = _stream_qps(64)
+    ivf_qps, ivf_recall = _ivf_1m_qps()
     print(
         json.dumps(
             {
@@ -76,6 +107,8 @@ def main() -> None:
                 "single_dispatch_qps_b32": round(r["qps"], 1),
                 "stream_qps_b32x16": round(stream16, 1),
                 "batch_latency_ms_p50": round(r["latency"].p50, 4),
+                "sift1m_ivf_qps_b8192_np4": ivf_qps,
+                "sift1m_ivf_recall_at_10": ivf_recall,
             }
         )
     )

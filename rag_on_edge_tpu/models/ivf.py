@@ -302,7 +302,7 @@ class IVFIndex:
         self._search_cm_jit = jax.jit(
             self._search_cluster_major_impl,
             static_argnames=("k", "nprobe", "qcap", "engine", "rescore",
-                             "recover_qcap", "recover_blocks"),
+                             "recover_qcap", "recover_blocks", "recover_passes"),
         )
         self._stream_jit = jax.jit(
             lambda arrays, qq, k, nprobe, pc: jax.lax.map(
@@ -467,7 +467,7 @@ class IVFIndex:
         self._arrays["rows_valid"] = jnp.asarray(rv)
         self._arrays["last_block"] = jnp.asarray(lb)
 
-    def _cm_recover(self, arrays, qi, probes, slot, bias, k: int,
+    def _cm_recover(self, arrays, qi, probes, todo, bias, k: int,
                     qcap2: int, cap_blocks: int, engine: str):
         """Spilled-pair recovery: a second, SPARSE kernel pass over only the
         clusters that dropped routing pairs in the main pass.
@@ -484,16 +484,17 @@ class IVFIndex:
 
         qi: the kernel-ready query batch of the main pass (quantized /
         augmented / padded exactly as the engine expects).
+        todo: [B, P] bool — the pairs this pass must place (spilled by the
+        main pass, or left over from a previous recovery pass).
         Returns (pv2 [cap_blocks, qcap2, k], pr2, slot2 [B, P],
         cluster_inc [nlist] bool — cluster fully covered by this pass,
         cluster_pos [nlist] i32 — row of its result in pv2).
         """
         bc_t = arrays["block_cluster"]
         lb = arrays["last_block"]
-        spilled = slot < 0
-        # Re-invert only the spilled pairs; kept pairs are routed to a
+        # Re-invert only the todo pairs; the rest are routed to a
         # sentinel cluster whose table row is discarded.
-        probes2 = jnp.where(spilled, probes, self.nlist)
+        probes2 = jnp.where(todo, probes, self.nlist)
         cq2, slot2, _ = invert_probes(probes2, self.nlist + 1, qcap2)
         cq2 = cq2[: self.nlist]
 
@@ -536,7 +537,8 @@ class IVFIndex:
     def _search_cluster_major_impl(self, arrays, queries: jax.Array, k: int,
                                    nprobe: int, qcap: int, engine: str = "xla",
                                    rescore: bool = False, recover_qcap: int = 0,
-                                   recover_blocks: int = 0):
+                                   recover_blocks: int = 0,
+                                   recover_passes: int = 1):
         """Cluster-major search (see class docstring).
 
         Returns (scores [B,k] f32, ids [B,k] i32, n_candidates [B] i32,
@@ -558,8 +560,13 @@ class IVFIndex:
 
         # STAGE 2 — invert the probe map (MoE-style dispatch) and gather
         # each cluster's probing queries into a dense [nlist, qcap, D].
-        cq, slot, spill = invert_probes(probes, self.nlist, qcap)
+        cq, slot, _ = invert_probes(probes, self.nlist, qcap)
         routed = (cq >= 0)[..., None]
+        # A dropped pair loses candidates only if its cluster has any; pairs
+        # probing empty clusters are not spill (and are unrecoverable by
+        # construction — an empty cluster has no blocks to rescan).
+        lossy = (slot < 0) & (arrays["sizes"][probes] > 0)
+        spill = jnp.sum(lossy).astype(jnp.int32)
 
         # STAGE 3 — score each cluster's slab against its routed queries.
         if engine in ("pallas", "pallas_routed"):
@@ -614,24 +621,32 @@ class IVFIndex:
                 )
             extra = None
             if recover_qcap and recover_blocks:
-                pv2, pr2, slot2, cluster_inc, cluster_pos = self._cm_recover(
-                    arrays, qi, probes, slot, bias,
-                    k=kk, qcap2=recover_qcap, cap_blocks=recover_blocks,
-                    engine=engine,
-                )
-                if alpha is not None:
-                    pv2 = alpha * pv2
-                elif self.metric == "l2":
-                    pv2 = 2.0 * pv2
-                spilled = slot < 0
-                placed = (slot2 >= 0) & cluster_inc[probes]
-                ok2 = spilled & placed & (arrays["sizes"][probes] > 0)
-                row2 = cluster_pos[probes]
-                sl2 = jnp.clip(slot2, 0)
-                gv2 = jnp.where(ok2[..., None], pv2[row2, sl2], _NEG_INF)
-                gr2 = pr2[row2, sl2]
-                extra = (gv2.reshape(b, -1), gr2.reshape(b, -1))
-                spill = jnp.sum(spilled & ~placed).astype(jnp.int32)
+                # One recovery pass per iteration; each re-invers only the
+                # pairs still unplaced, so successive passes drain heavier
+                # spill (very large batches at high nprobe overflow a
+                # single pass's capacity).
+                ev, er = [], []
+                todo = lossy
+                for _ in range(recover_passes):
+                    pv2, pr2, slot2, cluster_inc, cluster_pos = self._cm_recover(
+                        arrays, qi, probes, todo, bias,
+                        k=kk, qcap2=recover_qcap, cap_blocks=recover_blocks,
+                        engine=engine,
+                    )
+                    if alpha is not None:
+                        pv2 = alpha * pv2
+                    elif self.metric == "l2":
+                        pv2 = 2.0 * pv2
+                    placed = (slot2 >= 0) & cluster_inc[probes]
+                    ok2 = todo & placed  # todo already implies sizes > 0
+                    row2 = cluster_pos[probes]
+                    sl2 = jnp.clip(slot2, 0)
+                    ev.append(jnp.where(ok2[..., None], pv2[row2, sl2], _NEG_INF)
+                              .reshape(b, -1))
+                    er.append(pr2[row2, sl2].reshape(b, -1))
+                    todo = todo & ~placed
+                extra = (jnp.concatenate(ev, axis=1), jnp.concatenate(er, axis=1))
+                spill = jnp.sum(todo).astype(jnp.int32)
             if alpha is not None:
                 pv = alpha * pv  # back to true-score units (−inf stays −inf)
             elif self.metric == "l2":
@@ -752,6 +767,20 @@ class IVFIndex:
         # qcap >= batch can never spill: a cluster's load is at most B.
         return qcap < batch and qcap < capacity_factor * mean_load
 
+    def _auto_recover_passes(self, batch: int, nprobe: int, recover_qcap: int,
+                             capacity_factor: float = 8.0,
+                             max_passes: int = 4) -> int:
+        """Recovery passes to absorb the expected hot-cluster overflow:
+        enough combined capacity (qcap + passes·recover_qcap) to reach the
+        capacity-factor target the main qcap was clamped away from.
+        Measured anchor: B=2048/nprobe=32 needs qcap 480 ≈ 7.5x the mean
+        load → one 256-pass suffices; B=16K/nprobe=8 overflows one pass.
+        Capped — genuinely pathological skew is still counted as residual
+        spill rather than chased forever."""
+        mean_load = batch * min(nprobe, self.nlist) / self.nlist
+        need = capacity_factor * mean_load - self._auto_qcap(batch, nprobe)
+        return int(np.clip(-(-need // max(recover_qcap, 1)), 1, max_passes))
+
     def required_qcap(self, queries: jax.Array | np.ndarray, nprobe: int,
                       multiple: int = 32) -> int:
         """Smallest routing capacity with ZERO spill for this batch: the max
@@ -788,6 +817,7 @@ class IVFIndex:
         recover: bool | None = None,
         recover_qcap: int | None = None,
         recover_blocks: int | None = None,
+        recover_passes: int | None = None,
     ):
         """On-device search → (scores [B,k], ids [B,k], n_candidates [B]).
 
@@ -804,8 +834,11 @@ class IVFIndex:
             clusters (see :meth:`_cm_recover`).  Default: on exactly when
             the auto-qcap heuristic was clamped below its capacity-factor
             target, the regime where spill appears (:meth:`_auto_recover`).
-        recover_qcap / recover_blocks: capacity of the recovery pass
+        recover_qcap / recover_blocks: capacity of each recovery pass
             (default: qcap / nblocks/4).
+        recover_passes: recovery iterations; each re-invers only the pairs
+            still unplaced (default :meth:`_auto_recover_passes` — more
+            passes when the batch is large enough to overflow one).
         """
         b = queries.shape[0]
         if mode == "auto":
@@ -823,14 +856,16 @@ class IVFIndex:
             if recover is None:
                 recover = pallas_engine and self._auto_recover(b, nprobe)
             rq = rb = 0
+            rp = 1
             if recover:
                 nblocks = self._arrays["vectors_t"].shape[0]
                 rq = recover_qcap or qcap or self._auto_qcap(b, nprobe)
                 rb = min(recover_blocks or max(1, nblocks // 4), nblocks)
                 rb = -(-rb // self.CM_GROUP) * self.CM_GROUP
+                rp = recover_passes or self._auto_recover_passes(b, nprobe, rq)
             vals, ids, ncand, spill = self._search_cm_jit(
                 self._arrays, queries, k, nprobe,
-                qcap or self._auto_qcap(b, nprobe), engine, rescore, rq, rb
+                qcap or self._auto_qcap(b, nprobe), engine, rescore, rq, rb, rp
             )
             self.last_spill = spill
             return vals, ids, ncand

@@ -347,7 +347,8 @@ class ShardedIVFIndex:
         )
         self._search_cm_jit = jax.jit(
             self._make_cluster_major_fn(),
-            static_argnames=("k", "nprobe", "qcap", "recover_qcap", "recover_blocks"),
+            static_argnames=("k", "nprobe", "qcap", "recover_qcap",
+                             "recover_blocks", "recover_passes"),
         )
 
     # ------------------------------------------------- cluster-major (pallas)
@@ -466,7 +467,7 @@ class ShardedIVFIndex:
 
         def shard_body(q, cents, c_norms, vecs_t, vecs, reorder, bc, bf, bl, rv,
                        cluster_shard, sizes, v_norms, k, nprobe, qcap,
-                       recover_qcap, recover_blocks):
+                       recover_qcap, recover_blocks, recover_passes):
             vecs_t, vecs, reorder = vecs_t[0], vecs[0], reorder[0]
             bc, bf, bl, rv, v_norms = bc[0], bf[0], bl[0], rv[0], v_norms[0]
             kk = 2 * k
@@ -477,7 +478,12 @@ class ShardedIVFIndex:
                 base_norms=c_norms if coarse_metric == "l2" else None,
             )
             _, probes = topk_ops.small_topk(coarse, min(nprobe, nlist))
-            cq, slot, spill = invert_probes(probes, nlist, qcap)
+            cq, slot, _ = invert_probes(probes, nlist, qcap)
+            # Dropped pairs on empty clusters lose nothing and can never be
+            # recovered (no local blocks) — they are not spill.  `lossy` is
+            # replicated (probes/slot/sizes all are), so no psum is needed.
+            lossy = (slot < 0) & (sizes[probes] > 0)
+            spill = jnp.sum(lossy).astype(jnp.int32)
             ncand = jnp.sum(sizes[probes], axis=1).astype(jnp.int32)
             routed = (cq >= 0)[..., None]
             alpha, bias = None, None
@@ -514,45 +520,50 @@ class ShardedIVFIndex:
                 # re-invert the dropped pairs and walk a compacted list of
                 # the affected clusters' LOCAL blocks; outputs stay indexed
                 # by global cluster id, so the join below reads them the
-                # same way as the main pass.
+                # same way as the main pass.  One iteration per pass; each
+                # re-invers only the pairs still unplaced.
                 nblocks_local = vecs_t.shape[0]
-                spilled = slot < 0
-                probes2 = jnp.where(spilled, probes, nlist)
-                cq2, slot2, _ = invert_probes(probes2, nlist + 1, recover_qcap)
-                cq2 = cq2[:nlist]
-                active_c = cq2[:, 0] >= 0
-                active_b = active_c[bc] & (rv > 0)
-                rank = jnp.cumsum(active_b.astype(jnp.int32)) - 1
-                order = jnp.argsort(~active_b, stable=True).astype(jnp.int32)
-                blocks_list = order[:recover_blocks]
-                inc_b = active_b & (rank < recover_blocks)
-                inc_list = inc_b[blocks_list]
-                # A cluster is covered iff its last real local block made
-                # the cut (stable compaction keeps blocks consecutive).
                 blk_ids = jnp.where(rv > 0, jnp.arange(nblocks_local, dtype=jnp.int32), -1)
                 last_blk = jnp.full((nlist,), -1, jnp.int32).at[bc].max(blk_ids, mode="drop")
-                cluster_inc = active_c & (last_blk >= 0) & inc_b[jnp.clip(last_blk, 0)]
-                routed2 = (cq2 >= 0)[..., None]
-                qg2 = jnp.where(routed2, qrow[jnp.clip(cq2, 0)], jnp.zeros((), qrow.dtype))
-                bias2 = None
-                if bias is not None:
-                    bias2 = bias.reshape(nblocks_local, blk)[blocks_list].reshape(1, -1)
-                pv2, pr2 = pallas_ivf.cluster_major_scan(
-                    qg2, vecs_t[blocks_list], bc[blocks_list],
-                    jnp.where(inc_list, bf[blocks_list], 0),
-                    jnp.where(inc_list, bl[blocks_list], 0),
-                    jnp.where(inc_list, rv[blocks_list], 0),
-                    k=kk, blk=blk, bias=bias2, row_base=blocks_list * blk,
-                )
-                placed = (slot2 >= 0) & cluster_inc[probes]
-                ok2 = spilled & placed & owned & (sizes[probes] > 0)
-                sl2 = jnp.clip(slot2, 0)
-                extra = (
-                    jnp.where(ok2[..., None], pv2[probes, sl2], _NEG_INF),
-                    pr2[probes, sl2],
-                )
+                ev, er = [], []
+                todo = lossy
+                for _ in range(recover_passes):
+                    probes2 = jnp.where(todo, probes, nlist)
+                    cq2, slot2, _ = invert_probes(probes2, nlist + 1, recover_qcap)
+                    cq2 = cq2[:nlist]
+                    active_c = cq2[:, 0] >= 0
+                    active_b = active_c[bc] & (rv > 0)
+                    rank = jnp.cumsum(active_b.astype(jnp.int32)) - 1
+                    order = jnp.argsort(~active_b, stable=True).astype(jnp.int32)
+                    blocks_list = order[:recover_blocks]
+                    inc_b = active_b & (rank < recover_blocks)
+                    inc_list = inc_b[blocks_list]
+                    # A cluster is covered iff its last real local block
+                    # made the cut (stable compaction keeps blocks
+                    # consecutive).
+                    cluster_inc = active_c & (last_blk >= 0) & inc_b[jnp.clip(last_blk, 0)]
+                    routed2 = (cq2 >= 0)[..., None]
+                    qg2 = jnp.where(routed2, qrow[jnp.clip(cq2, 0)], jnp.zeros((), qrow.dtype))
+                    bias2 = None
+                    if bias is not None:
+                        bias2 = bias.reshape(nblocks_local, blk)[blocks_list].reshape(1, -1)
+                    pv2, pr2 = pallas_ivf.cluster_major_scan(
+                        qg2, vecs_t[blocks_list], bc[blocks_list],
+                        jnp.where(inc_list, bf[blocks_list], 0),
+                        jnp.where(inc_list, bl[blocks_list], 0),
+                        jnp.where(inc_list, rv[blocks_list], 0),
+                        k=kk, blk=blk, bias=bias2, row_base=blocks_list * blk,
+                    )
+                    placed = (slot2 >= 0) & cluster_inc[probes]
+                    ok2 = todo & placed & owned  # todo already implies sizes > 0
+                    sl2 = jnp.clip(slot2, 0)
+                    ev.append(jnp.where(ok2[..., None], pv2[probes, sl2], _NEG_INF))
+                    er.append(pr2[probes, sl2])
+                    todo = todo & ~placed
+                extra = (jnp.concatenate([e.reshape(b, -1) for e in ev], axis=1),
+                         jnp.concatenate([e.reshape(b, -1) for e in er], axis=1))
                 spill = jax.lax.psum(
-                    jnp.sum(spilled & owned & ~placed), axis
+                    jnp.sum(todo & owned), axis
                 ).astype(jnp.int32)
 
             if alpha is not None:
@@ -570,8 +581,8 @@ class ShardedIVFIndex:
             gv = jnp.where(ok[..., None], pv[probes, sl], _NEG_INF).reshape(b, -1)
             gr = pr[probes, sl].reshape(b, -1)
             if extra is not None:
-                gv = jnp.concatenate([gv, extra[0].reshape(b, -1)], axis=1)
-                gr = jnp.concatenate([gr, extra[1].reshape(b, -1)], axis=1)
+                gv = jnp.concatenate([gv, extra[0]], axis=1)
+                gr = jnp.concatenate([gr, extra[1]], axis=1)
             best_v, sel = topk_ops.small_topk(gv, kk)
             best_r = jnp.take_along_axis(gr, sel, axis=1)
             # fp32 rescore of local candidates (binned kernel selection is
@@ -606,10 +617,11 @@ class ShardedIVFIndex:
 
         def fn(q, cents, c_norms, vecs_t, vecs, reorder, bc, bf, bl, rv,
                cluster_shard, sizes, v_norms, k, nprobe, qcap,
-               recover_qcap, recover_blocks):
+               recover_qcap, recover_blocks, recover_passes):
             body = functools.partial(shard_body, k=k, nprobe=nprobe, qcap=qcap,
                                      recover_qcap=recover_qcap,
-                                     recover_blocks=recover_blocks)
+                                     recover_blocks=recover_blocks,
+                                     recover_passes=recover_passes)
             return jax.shard_map(
                 body, mesh=self.mesh, in_specs=in_specs,
                 out_specs=(P(None, None), P(None, None), P(None), P(None)),
@@ -690,7 +702,8 @@ class ShardedIVFIndex:
                       mode: str = "query", qcap: int | None = None,
                       recover: bool | None = None,
                       recover_qcap: int | None = None,
-                      recover_blocks: int | None = None):
+                      recover_blocks: int | None = None,
+                      recover_passes: int | None = None):
         """mode "query": per-shard gather fine scan (exact).  mode
         "cluster": per-shard cluster-major Pallas kernel (binned + fp32
         rescore) — the batch-scale path.  ``recover`` enables the
@@ -704,17 +717,20 @@ class ShardedIVFIndex:
             if recover is None:
                 recover = self._src_index._auto_recover(queries.shape[0], nprobe)
             rq = rb = 0
+            rp = 1
             if recover:
                 nblocks_local = a["vectors_t"].shape[1]
                 rq = recover_qcap or qcap or self._auto_qcap(queries.shape[0], nprobe)
                 rb = min(recover_blocks or max(1, nblocks_local // 4), nblocks_local)
+                rp = recover_passes or self._src_index._auto_recover_passes(
+                    queries.shape[0], nprobe, rq)
             vals, ids, ncand, spill = self._search_cm_jit(
                 queries, self._centroids, c_norms,
                 a["vectors_t"], a["vectors"], a["reorder"],
                 a["bc"], a["bf"], a["bl"], a["rv"],
                 a["cluster_shard"], a["sizes"], a["vector_norms"],
                 k, nprobe, qcap or self._auto_qcap(queries.shape[0], nprobe),
-                rq, rb,
+                rq, rb, rp,
             )
             self.last_spill = spill[0]
             return vals, ids, ncand

@@ -276,3 +276,29 @@ def test_spill_recovery_residual_counted(small_data, ivf):
                       recover_blocks=ivf._arrays["vectors_t"].shape[0])
     residual = int(ivf.last_spill)
     assert 0 < residual < full_spill
+
+
+def test_spill_recovery_multi_pass(small_data, ivf):
+    """Passes drain the spill monotonically; enough passes reach zero even
+    when one pass's capacity cannot absorb the whole overflow."""
+    _, queries = small_data
+    q = jnp.asarray(queries)
+    b = q.shape[0]
+    nblocks = ivf._arrays["vectors_t"].shape[0]
+    residuals = []
+    for passes in (1, 2, 4):
+        ivf.search_device(q, k=10, nprobe=8, mode="cluster", qcap=4,
+                          recover=True, recover_qcap=8,
+                          recover_blocks=nblocks, recover_passes=passes)
+        residuals.append(int(ivf.last_spill))
+    assert residuals[0] > residuals[1] >= residuals[2]
+    # full-capacity reference vs multi-pass small-capacity recovery
+    v_ref, i_ref, _ = ivf.search_device(q, k=10, nprobe=8, mode="cluster",
+                                        qcap=b, recover=False)
+    v1, i1, _ = ivf.search_device(q, k=10, nprobe=8, mode="cluster", qcap=4,
+                                  recover=True, recover_qcap=8,
+                                  recover_blocks=nblocks, recover_passes=8)
+    assert int(ivf.last_spill) == 0
+    assert recall_at_k(np.asarray(i1), np.asarray(i_ref), 10) == 1.0
+    np.testing.assert_allclose(np.sort(np.asarray(v_ref)), np.sort(np.asarray(v1)),
+                               rtol=1e-5)
