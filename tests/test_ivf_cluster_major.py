@@ -302,3 +302,36 @@ def test_spill_recovery_multi_pass(small_data, ivf):
     assert recall_at_k(np.asarray(i1), np.asarray(i_ref), 10) == 1.0
     np.testing.assert_allclose(np.sort(np.asarray(v_ref)), np.sort(np.asarray(v1)),
                                rtol=1e-5)
+
+
+def test_spill_excludes_empty_clusters():
+    """Pairs dropped on EMPTY clusters are not spill: they lose no
+    candidates and can never be "placed" by recovery (an empty cluster has
+    no blocks) — counting them made the recovery residual plateau above
+    zero forever.  Exact duplicates tie at k-means init, so half the
+    clusters here stay empty."""
+    rng = np.random.default_rng(0)
+    clumps = rng.normal(size=(8, 32)).astype(np.float32)
+    base = np.repeat(clumps, 8, axis=0)
+    idx = IVFIndex.build(base, nlist=16, metric="ip", seed=42, max_iter=20)
+    sizes = np.asarray(idx._arrays["sizes"])[: idx.nlist]
+    n_nonempty = int((sizes > 0).sum())
+    assert n_nonempty < idx.nlist  # the construction did produce empties
+
+    q = jnp.asarray(clumps + 0.01 * rng.normal(size=clumps.shape).astype(np.float32))
+    b = q.shape[0]
+    # qcap=1, all clusters probed: every non-empty cluster drops B-1 lossy
+    # pairs; empty-cluster pairs are excluded from the count.
+    idx.search_device(q, k=4, nprobe=16, mode="cluster", qcap=1, engine="xla")
+    assert int(idx.last_spill) == (b - 1) * n_nonempty
+
+    # Recovery drains to zero despite the probed empty clusters (they used
+    # to be permanently stuck in the todo set).
+    idx._ensure_kernel_state()
+    nblocks = idx._arrays["vectors_t"].shape[0]
+    _, ids, _ = idx.search_device(q, k=4, nprobe=16, mode="cluster", qcap=1,
+                                  engine="pallas", recover=True, recover_qcap=b,
+                                  recover_blocks=nblocks, recover_passes=1)
+    assert int(idx.last_spill) == 0
+    _, i_ref, _ = idx.search_device(q, k=4, nprobe=16, mode="cluster", qcap=b)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(i_ref))

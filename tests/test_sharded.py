@@ -182,3 +182,34 @@ def test_sharded_spill_recovery(small_data, mesh):
     np.testing.assert_allclose(np.sort(np.asarray(v_ref)), np.sort(np.asarray(v1)),
                                rtol=1e-5)
     assert recall_at_k(np.asarray(i1), np.asarray(i_ref), 10) == 1.0
+
+
+def test_sharded_spill_recovery_multi_pass(small_data, mesh):
+    """When one pass's capacity can't absorb the overflow, recover_passes
+    drains it per shard; enough passes reach zero residual and full-qcap
+    results."""
+    import jax.numpy as jnp
+    base, queries = small_data
+    single = IVFIndex.build(base, nlist=16, metric="ip", seed=42, max_iter=10)
+    sharded = ShardedIVFIndex(single, mesh)
+    q = jnp.asarray(queries)
+    b = q.shape[0]
+    nblocks_local = None
+    residuals = []
+    for passes in (1, 2, 8):
+        kw = {}
+        if nblocks_local is None:
+            sharded.search_device(q, k=10, nprobe=8, mode="cluster", qcap=4,
+                                  recover=False)
+            nblocks_local = sharded._cm_arrays["vectors_t"].shape[1]
+        v, i, _ = sharded.search_device(q, k=10, nprobe=8, mode="cluster", qcap=4,
+                                        recover=True, recover_qcap=8,
+                                        recover_blocks=nblocks_local,
+                                        recover_passes=passes)
+        residuals.append(int(sharded.last_spill))
+    assert residuals[0] >= residuals[1] >= residuals[2] == 0
+    v_ref, i_ref, _ = sharded.search_device(q, k=10, nprobe=8, mode="cluster",
+                                            qcap=b, recover=False)
+    assert recall_at_k(np.asarray(i), np.asarray(i_ref), 10) == 1.0
+    np.testing.assert_allclose(np.sort(np.asarray(v_ref)), np.sort(np.asarray(v)),
+                               rtol=1e-5)
