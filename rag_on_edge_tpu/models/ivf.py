@@ -768,21 +768,26 @@ class IVFIndex:
         return qcap < batch and qcap < capacity_factor * mean_load
 
     def _auto_recover_passes(self, batch: int, nprobe: int, recover_qcap: int,
-                             capacity_factor: float = 5.0,
-                             max_passes: int = 4) -> int:
+                             capacity_factor: float | None = None,
+                             max_passes: int = 8) -> int:
         """Recovery passes to absorb the expected hot-cluster overflow:
         enough combined capacity (qcap + passes·recover_qcap) to reach
         capacity_factor x the mean cluster load.
 
-        The 5x target is measured, not guessed: on SIFT-1M recall@10
-        saturates once total capacity reaches ~5x the mean load, and each
-        extra pass costs ~20% throughput — B=16K/np=8: 1 pass (3x) 0.9853 /
-        302K QPS, 2 passes (5x) 0.9969 / 250K, 4 passes 0.9969 / 188K;
-        B=32K/np=4: 1 pass (4x) already 0.9945 / 440K; B=2048/np=32 needs
-        qcap 480 ≈ 7.5x mean → one 256-pass reaches 512 total, residual 0.
-        Capped — genuinely pathological skew is counted as residual spill
-        rather than chased forever (B=32K/np=8 wants 8 passes; 4 already
-        reach 0.9969 with the 16K residual honestly reported)."""
+        The targets are measured on SIFT-1M, not guessed.  At nprobe ≤ 8
+        recall@10 saturates once total capacity reaches ~5x the mean load
+        (B=16K/np=8: 1 pass (3x) 0.9853 / 302K QPS, 2 passes (5x) 0.9969 /
+        250K, 4 passes 0.9969 / 188K; B=32K/np=4: 1 pass (4x) already
+        0.9945 / 440K).  At nprobe ≥ 16 recovery is COVERAGE-limited, not
+        just capacity-limited — more clusters run hot than one pass's
+        compacted block list reaches, and passes rotate coverage — so the
+        target doubles to ~10x (B=8192/np=16: 2 passes (6x) 0.9879, 4
+        passes (10x) 0.9983 / 104K; B=8192/np=32: 8 passes (9x) 0.9991).
+        Each pass costs ~20% throughput; the cap keeps genuinely
+        pathological skew counted as residual spill rather than chased
+        forever."""
+        if capacity_factor is None:
+            capacity_factor = 5.0 + 5.0 * float(np.clip((nprobe - 8) / 8, 0, 1))
         mean_load = batch * min(nprobe, self.nlist) / self.nlist
         need = capacity_factor * mean_load - self._auto_qcap(batch, nprobe)
         return int(np.clip(-(-need // max(recover_qcap, 1)), 1, max_passes))
