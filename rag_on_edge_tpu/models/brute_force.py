@@ -84,8 +84,6 @@ class BruteForceIndex:
             raise ValueError(f"unknown engine {engine!r}")
         if engine == "auto":
             engine = "pallas" if base.shape[0] >= 100_000 else "xla"
-        if dtype == "int8" and metric != "ip":
-            raise ValueError("int8 path supports metric='ip' only (like the reference NPU path)")
 
         self.metric = metric
         self.dtype = dtype
@@ -112,6 +110,12 @@ class BruteForceIndex:
                 arrays["base_t"] = put(qt.values.T)
             else:
                 arrays["base"] = put(qt.values)
+            if metric == "l2":
+                # Norms bias: l2 = alpha·dots − ‖b‖² with alpha = 2·sq·sb
+                # (the IVF int8 L2 scheme — the norms' magnitude cannot
+                # ride inside int8, so ranking happens in f32 true-score
+                # units with a per-column bias).
+                arrays["base_norms"] = put(distances.base_norms_sq(base_f32))
         elif engine == "pallas":
             # Fused kernel computes inner products only; L2 ranking folds in
             # via augmentation: q' = [q, 1], b' = [b, -‖b‖²/2] gives
@@ -145,6 +149,12 @@ class BruteForceIndex:
         nbins = 128 if self.rescore else 0
         if self.dtype == "int8":
             q = quantize.quantize_int8(queries, per_row=True)
+            if self.metric == "l2":
+                alpha = 2.0 * q.scale.reshape(-1) * arrays["base_scale"]
+                return fused_topk_matmul(
+                    q.values, arrays["base_t"], k, nbins=nbins,
+                    alpha=alpha, bias=arrays["base_norms"],
+                )  # vals already in true 2q·b − ‖b‖² units (f32)
             vals_i32, ids = fused_topk_matmul(q.values, arrays["base_t"], k, nbins=nbins)
             vals = quantize.dequantize(vals_i32, q.scale, arrays["base_scale"])
             return vals, ids
@@ -184,11 +194,15 @@ class BruteForceIndex:
         if self.dtype == "int8":
             q = quantize.quantize_int8(queries, per_row=True)
             raw = distances.score_matrix_int8(q.values, arrays["base"])
-            vals_i32, ids = sel(raw, kq)
+            if self.metric == "l2":
+                alpha = (2.0 * q.scale.reshape(-1) * arrays["base_scale"])
+                scores = raw.astype(jnp.float32) * alpha[:, None] - arrays["base_norms"][None, :]
+                vals, ids = sel(scores, kq)
+            else:
+                vals_i32, ids = sel(raw, kq)
+                vals = quantize.dequantize(vals_i32, q.scale, arrays["base_scale"])
             if self.rescore:
                 vals, ids = self._rescore_exact(arrays, queries, ids, k)
-            else:
-                vals = quantize.dequantize(vals_i32, q.scale, arrays["base_scale"])
             return vals, ids.astype(jnp.int32)
         compute_dtype = jnp.bfloat16 if self.dtype == "bf16" else None
         scores = distances.score_matrix(

@@ -106,18 +106,24 @@ def binned_top2(sc_ref, row0, tile_w, nbins, fill):
     )
 
 
-def _kernel(q_ref, base_ref, *rest, k, n, tile_n, acc_dtype, nbins, dyn_n):
-    if dyn_n:
-        nv_ref, out_vals_ref, out_ids_ref, sv_ref, si_ref, sc_ref = rest
-    else:
-        nv_ref = None
-        out_vals_ref, out_ids_ref, sv_ref, si_ref, sc_ref = rest
+def _kernel(q_ref, base_ref, *rest, k, n, tile_n, acc_dtype, nbins, dyn_n, l2):
+    rest = list(rest)
+    nv_ref = rest.pop(0) if dyn_n else None
+    alpha_ref = bias_ref = None
+    if l2:
+        alpha_ref = rest.pop(0)
+        bias_ref = rest.pop(0)
+    out_vals_ref, out_ids_ref, sv_ref, si_ref, sc_ref = rest
     # grid = (B blocks, N tiles), N innermost: each query block walks every
     # base tile consecutively, so the running top-k scratch is private to
     # the current block and VMEM pressure is set by tile_b — not B.
     i = pl.program_id(1)
     n_tiles = pl.num_programs(1)
-    fill = jnp.iinfo(acc_dtype).min if jnp.issubdtype(acc_dtype, jnp.integer) else acc_dtype(-jnp.inf)
+    # Selection domain: the raw accumulator, except the int8 L2 path where
+    # the fractional norms bias forces f32 (alpha·dots − ‖b‖², exact in the
+    # quantized model — the monotone per-row map of the L2 score).
+    sel_dtype = jnp.float32 if l2 else acc_dtype
+    fill = jnp.iinfo(sel_dtype).min if jnp.issubdtype(sel_dtype, jnp.integer) else sel_dtype(-jnp.inf)
 
     @pl.when(i == 0)
     def _init():
@@ -133,6 +139,10 @@ def _kernel(q_ref, base_ref, *rest, k, n, tile_n, acc_dtype, nbins, dyn_n):
         precision=jax.lax.Precision.HIGHEST
         if q_ref.dtype == jnp.float32 else None,
     )
+    if l2:
+        # alpha [tile_b, 1] = 2·sq_row·sb, bias [1, tile_n] = ‖b‖²: the
+        # exact L2 score of the quantized model, selected in f32.
+        scores = scores.astype(jnp.float32) * alpha_ref[:] - bias_ref[:]
     b = scores.shape[0]
     local_cols = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
     global_cols = local_cols + i * tile_n
@@ -184,6 +194,8 @@ def fused_topk_matmul(
     tile_b: int | None = None,
     nbins: int = 0,
     n_valid: jax.Array | None = None,
+    alpha: jax.Array | None = None,
+    bias: jax.Array | None = None,
     interpret: bool | None = None,
 ):
     """Fused top-k inner-product search.
@@ -201,10 +213,18 @@ def fused_topk_matmul(
              >0 (e.g. 128) → top-2-per-bin partial reduction per tile —
              approximate, far cheaper for large B·k, pair with a k' > k
              candidate pool + rescoring.
-    Returns (vals [B, k] acc_dtype, ids [B, k] int32), best first, ties to
-    the lowest id.  Requires N ≥ k.  N is padded internally to a tile
-    multiple; B is padded to a tile_b multiple.
+    alpha/bias: int8 L2 mode (pass both) — select on
+             ``dots·alpha[row] − bias[col]`` in f32, where alpha [B] =
+             2·sq_row·sb and bias [N] = ‖b‖²: the L2-score analog of the
+             IVF kernel's bias column (the norms' magnitude cannot live in
+             int8, and the per-row query scale makes the bias
+             row-dependent, so ranking happens in true-score units).
+    Returns (vals [B, k] acc_dtype — f32 in L2 mode, ids [B, k] int32),
+    best first, ties to the lowest id.  Requires N ≥ k.  N is padded
+    internally to a tile multiple; B is padded to a tile_b multiple.
     """
+    if (alpha is None) != (bias is None):
+        raise ValueError("alpha and bias must be passed together")
     if interpret is None:
         interpret = _interpret_default()
     d, n = base_t.shape
@@ -235,6 +255,9 @@ def fused_topk_matmul(
         base_t = jnp.pad(base_t, ((0, 0), (0, pad_n)))
     n_tiles = (n + pad_n) // tile_n
 
+    l2 = bias is not None
+    sel_dtype = jnp.float32 if l2 else acc_dtype
+
     in_specs = [
         pl.BlockSpec((tile_b, d), lambda ib, i: (ib, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((d, tile_n), lambda ib, i: (0, i), memory_space=pltpu.VMEM),
@@ -243,10 +266,24 @@ def fused_topk_matmul(
     if n_valid is not None:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(n_valid.astype(jnp.int32).reshape(1))
+    if l2:
+        a = alpha.astype(jnp.float32).reshape(-1, 1)
+        if pad_b:
+            a = jnp.pad(a, ((0, pad_b), (0, 0)), constant_values=1.0)
+        bi = bias.astype(jnp.float32).reshape(1, -1)
+        if pad_n:
+            bi = jnp.pad(bi, ((0, 0), (0, pad_n)))
+        in_specs.append(
+            pl.BlockSpec((tile_b, 1), lambda ib, i: (ib, 0), memory_space=pltpu.VMEM)
+        )
+        in_specs.append(
+            pl.BlockSpec((1, tile_n), lambda ib, i: (0, i), memory_space=pltpu.VMEM)
+        )
+        inputs.extend([a, bi])
 
     kernel = functools.partial(
         _kernel, k=k, n=n, tile_n=tile_n, acc_dtype=acc_dtype, nbins=nbins,
-        dyn_n=n_valid is not None,
+        dyn_n=n_valid is not None, l2=l2,
     )
     vals, ids = pl.pallas_call(
         kernel,
@@ -257,13 +294,13 @@ def fused_topk_matmul(
             pl.BlockSpec((tile_b, k), lambda ib, i: (ib, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bp, k), acc_dtype),
+            jax.ShapeDtypeStruct((bp, k), sel_dtype),
             jax.ShapeDtypeStruct((bp, k), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((tile_b, k), acc_dtype),
+            pltpu.VMEM((tile_b, k), sel_dtype),
             pltpu.VMEM((tile_b, k), jnp.int32),
-            pltpu.VMEM((tile_b, tile_n if nbins else 8), acc_dtype),
+            pltpu.VMEM((tile_b, tile_n if nbins else 8), sel_dtype),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * bp * d * (n + pad_n),

@@ -77,8 +77,6 @@ class ShardedBruteForceIndex:
             raise ValueError(f"unknown metric {metric!r}")
         if dtype not in ("fp32", "bf16", "int8"):
             raise ValueError(f"unknown dtype {dtype!r}")
-        if dtype == "int8" and metric != "ip":
-            raise ValueError("int8 path supports metric='ip' only")
         if engine not in ("xla", "pallas"):
             raise ValueError(f"unknown engine {engine!r}")
         self.metric = metric
@@ -172,11 +170,21 @@ class ShardedBruteForceIndex:
                 nbins = 128 if rescore else 0
                 if dtype == "int8":
                     qq = quantize.quantize_int8(q, per_row=True)
-                    v_i32, ids = fused_topk_matmul(
-                        qq.values, base_shard, kk, nbins=nbins, n_valid=nv
-                    )
-                    vals = quantize.dequantize(v_i32, qq.scale, base_scale)
-                    vals = jnp.where(v_i32 == _INT32_MIN, _NEG_INF, vals)
+                    if metric == "l2":
+                        # int8 L2: alpha-rescaled dots minus the local
+                        # norms bias, selected in f32 inside the kernel
+                        # (see fused_topk_matmul / IVF's bias column).
+                        alpha = 2.0 * qq.scale.reshape(-1) * base_scale
+                        vals, ids = fused_topk_matmul(
+                            qq.values, base_shard, kk, nbins=nbins,
+                            n_valid=nv, alpha=alpha, bias=base_norms,
+                        )
+                    else:
+                        v_i32, ids = fused_topk_matmul(
+                            qq.values, base_shard, kk, nbins=nbins, n_valid=nv
+                        )
+                        vals = quantize.dequantize(v_i32, qq.scale, base_scale)
+                        vals = jnp.where(v_i32 == _INT32_MIN, _NEG_INF, vals)
                 else:
                     qx = q
                     if metric == "l2":
@@ -194,10 +202,17 @@ class ShardedBruteForceIndex:
                 if dtype == "int8":
                     qq = quantize.quantize_int8(q, per_row=True)
                     raw = distances.score_matrix_int8(qq.values, base_shard)
-                    raw = jnp.where(valid[None, :], raw, _INT32_MIN)
-                    v_i32, ids = topk.two_stage_topk(raw, kk)
-                    vals = quantize.dequantize(v_i32, qq.scale, base_scale)
-                    vals = jnp.where(v_i32 == _INT32_MIN, _NEG_INF, vals)
+                    if metric == "l2":
+                        alpha = 2.0 * qq.scale.reshape(-1) * base_scale
+                        scores = raw.astype(jnp.float32) * alpha[:, None] \
+                            - base_norms[None, :]
+                        scores = jnp.where(valid[None, :], scores, _NEG_INF)
+                        vals, ids = topk.two_stage_topk(scores, kk)
+                    else:
+                        raw = jnp.where(valid[None, :], raw, _INT32_MIN)
+                        v_i32, ids = topk.two_stage_topk(raw, kk)
+                        vals = quantize.dequantize(v_i32, qq.scale, base_scale)
+                        vals = jnp.where(v_i32 == _INT32_MIN, _NEG_INF, vals)
                 else:
                     scores = distances.score_matrix(
                         q,

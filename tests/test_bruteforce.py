@@ -52,13 +52,29 @@ def test_batched_equals_full(small_data):
     np.testing.assert_allclose(s_full, s_b, rtol=1e-6)
 
 
-def test_int8_rejects_l2(small_data):
-    base, _ = small_data
-    with pytest.raises(ValueError, match="int8"):
-        BruteForceIndex(base, metric="l2", dtype="int8")
+@pytest.mark.parametrize("engine", ["xla", "pallas"])
+def test_int8_l2(small_data, engine):
+    """int8 L2: alpha-rescaled dots minus the norms bias, selected in f32
+    (the IVF bias-column scheme on the brute-force path)."""
+    base, queries = small_data
+    idx = BruteForceIndex(base, metric="l2", dtype="int8", engine=engine)
+    ids, scores = idx.search(queries, k=10)
+    gt = ground_truth(base, queries, 10, metric="l2", backend="numpy")
+    assert recall_at_k(ids, gt, 10) >= 0.85
+    # reported scores approximate the true 2q·b − ‖b‖² values
+    true = 2.0 * np.take_along_axis(queries @ base.T, ids.astype(np.int64), axis=1) \
+        - (base ** 2).sum(axis=1)[ids]
+    np.testing.assert_allclose(scores, true, rtol=0.1, atol=np.abs(true).max() * 0.02)
+    # rescore restores exact recall and exact fp32 values
+    idx_r = BruteForceIndex(base, metric="l2", dtype="int8", engine=engine, rescore=True)
+    ids_r, scores_r = idx_r.search(queries, k=10)
+    assert recall_at_k(ids_r, gt, 10) >= 0.99
+    true_r = 2.0 * np.take_along_axis(queries @ base.T, ids_r.astype(np.int64), axis=1) \
+        - (base ** 2).sum(axis=1)[ids_r]
+    np.testing.assert_allclose(scores_r, true_r, rtol=1e-4)
 
 
-@pytest.mark.parametrize("dtype,metric", [("fp32", "ip"), ("fp32", "l2"), ("bf16", "ip"), ("int8", "ip")])
+@pytest.mark.parametrize("dtype,metric", [("fp32", "ip"), ("fp32", "l2"), ("bf16", "ip"), ("int8", "ip"), ("int8", "l2")])
 def test_pallas_engine_matches_xla(small_data, dtype, metric):
     base, queries = small_data
     xla = BruteForceIndex(base, metric=metric, dtype=dtype, engine="xla", select="iterative")

@@ -50,6 +50,25 @@ def test_sharded_int8(small_data, mesh):
     assert recall_at_k(ids, gt, 10) >= 0.85
 
 
+@pytest.mark.parametrize("engine", ["xla", "pallas"])
+def test_sharded_int8_l2(small_data, mesh, engine):
+    """int8 L2 per shard: alpha-rescaled dots minus the LOCAL norms bias,
+    f32 selection, cross-shard merge in true-score units."""
+    base, queries = small_data
+    sharded = ShardedBruteForceIndex(base, mesh, metric="l2", dtype="int8",
+                                     engine=engine)
+    ids, scores = sharded.search(queries, k=10)
+    gt = ground_truth(base, queries, 10, metric="l2", backend="numpy")
+    assert recall_at_k(ids, gt, 10) >= 0.85
+    rs = ShardedBruteForceIndex(base, mesh, metric="l2", dtype="int8",
+                                engine=engine, rescore=True)
+    ids_r, scores_r = rs.search(queries, k=10)
+    assert recall_at_k(ids_r, gt, 10) >= 0.99
+    true = 2.0 * np.take_along_axis(queries @ base.T, ids_r.astype(np.int64), axis=1) \
+        - (base ** 2).sum(axis=1)[ids_r]
+    np.testing.assert_allclose(scores_r, true, rtol=1e-4)
+
+
 @pytest.mark.parametrize("metric", ["ip", "l2"])
 def test_sharded_bruteforce_engines_agree(small_data, mesh, metric):
     """Fused per-shard kernel vs per-shard XLA path: both exact for fp32."""
