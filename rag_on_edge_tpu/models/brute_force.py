@@ -219,6 +219,12 @@ class BruteForceIndex:
 
     # ------------------------------------------------------------------ API
 
+    def memory_report(self) -> dict[str, int]:
+        """Device bytes per index array + TOTAL (utils.metrics.memory_report)."""
+        from rag_on_edge_tpu.utils.metrics import memory_report
+
+        return memory_report(self._arrays)
+
     def search_device(self, queries: jax.Array, k: int):
         """On-device search; inputs/outputs stay device arrays (the hot path)."""
         return self._search_jit(self._arrays, queries, k)

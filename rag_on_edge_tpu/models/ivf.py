@@ -815,6 +815,15 @@ class IVFIndex:
         qm_rows = batch * min(nprobe, self.nlist) * (self.n_padded / self.nlist)
         return "cluster" if qm_rows >= self.n_padded else "query"
 
+    def memory_report(self) -> dict[str, int]:
+        """Device bytes per index array + TOTAL.  Includes the
+        cluster-major kernel state (block-padded slabs) if materialized —
+        call after the first cluster-mode search for the full picture.
+        Disk artifacts (:meth:`save`) stay unpadded at reference parity."""
+        from rag_on_edge_tpu.utils.metrics import memory_report
+
+        return memory_report(self._arrays)
+
     def search_device(
         self,
         queries: jax.Array,

@@ -121,6 +121,17 @@ def operational_intensity(
     }
 
 
+def memory_report(arrays: dict) -> dict[str, int]:
+    """Bytes per named index array plus a ``"TOTAL"`` entry — the
+    device-memory analog of the reference's index-file inventory
+    (``qidk_ivf/README.md:121-130``).  Padding overhead (block-padded
+    cluster slabs, tile-aligned bases) shows up here, while on-disk
+    artifacts stay unpadded at reference memory parity."""
+    sizes = {name: int(a.size) * int(a.dtype.itemsize) for name, a in arrays.items()}
+    sizes["TOTAL"] = sum(sizes.values())
+    return sizes
+
+
 def write_results_txt(path: str, ids: np.ndarray, scores: np.ndarray) -> None:
     """Per-query top-k rows, the cross-backend-diffable format
     (reference ``cpu_baseline.cpp:167-173``, ``main.cpp:232-239``)."""

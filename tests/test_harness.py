@@ -76,3 +76,23 @@ def test_bench_gemm_run():
     res = bench_gemm.run(m=32, k=64, n=256, dtype="fp32", rows=2, cols=2,
                          iters=3, stack=2, pallas=False, quiet=True)
     assert res["verified"]
+
+
+def test_memory_report(small_data):
+    from rag_on_edge_tpu.models.brute_force import BruteForceIndex
+    from rag_on_edge_tpu.models.ivf import IVFIndex
+
+    base, queries = small_data
+    bf = BruteForceIndex(base, dtype="int8", engine="pallas")
+    rep = bf.memory_report()
+    n, d = base.shape
+    assert rep["base_t"] == n * d  # int8: one byte per element
+    assert rep["TOTAL"] >= rep["base_t"]
+
+    ivf = IVFIndex.build(base, nlist=16, metric="ip", seed=42, max_iter=5)
+    rep0 = ivf.memory_report()
+    assert rep0["TOTAL"] > 0
+    ivf.search(queries[:8], k=5, nprobe=4, mode="cluster")  # materialize kernel state
+    rep1 = ivf.memory_report()
+    assert "vectors_t" in rep1  # block-padded slabs counted once present
+    assert rep1["TOTAL"] > rep0["TOTAL"]
