@@ -193,6 +193,7 @@ class IVFIndex:
         dtype: str = "fp32",
         coarse_metric: str = "l2",
         pad_block: int | None = None,
+        store: str = "padded",
         config: dict | None = None,
     ):
         if metric not in ("ip", "l2"):
@@ -203,6 +204,15 @@ class IVFIndex:
             raise ValueError(
                 f"unknown dtype {dtype!r} (fine scan supports fp32/bf16/int8)"
             )
+        if store not in ("padded", "compact"):
+            raise ValueError(f"unknown store {store!r} ('padded' | 'compact')")
+        # "compact": no block-padded fp32 copy on device — the fp32 source
+        # for rescoring is the UNPADDED original-order base, reached through
+        # the existing reorder map.  Saves the padding overhead that
+        # dominates device memory at pad_block=2048 (1.23 GB → 512 MB on
+        # 1M) and is what makes 10M-scale single-chip serving fit; only
+        # the cluster-major Pallas engines are available in this mode.
+        self.store = store
         self.metric = metric
         # Cluster probing ranks centroids by L2 by default, independent of
         # the fine ranking metric: k-means partitions space into Voronoi
@@ -270,18 +280,31 @@ class IVFIndex:
         # Device-resident index state, passed to the jitted search fns as an
         # ARGUMENT (a closure would inline the whole database into the HLO
         # as a constant — megabytes-to-gigabytes of program).
-        vec_dev = jnp.asarray(vec_padded)
         arrays: dict[str, jax.Array] = {
             "centroids": jnp.asarray(self._centroids_np),
-            "vectors": vec_dev,  # fp32: the rescoring / query-major source
             "offsets": jnp.asarray(padded_offsets[:-1].astype(np.int32)),
             "sizes": jnp.asarray(sizes),
             "reorder": jnp.asarray(reorder_padded),
         }
+        if store == "padded":
+            # fp32 block-padded copy: the rescoring / query-major / XLA
+            # cluster-engine source.
+            arrays["vectors"] = jnp.asarray(vec_padded)
+        else:
+            # Unpadded, ORIGINAL-order fp32 for rescoring only (gathered
+            # through the reorder map — no padding rows on device).
+            orig = np.empty_like(self._vectors_np)
+            orig[self._reorder_np] = self._vectors_np
+            arrays["vectors_f32"] = jnp.asarray(orig)
         if coarse_metric == "l2":
             arrays["centroid_norms"] = distances.base_norms_sq(arrays["centroids"])
         if metric == "l2":
-            arrays["vector_norms"] = distances.base_norms_sq(vec_dev)
+            # Padded-row norms: the kernel bias column (int8) and padded-row
+            # rescoring both index by padded row id.  Host-computed so the
+            # compact store never materializes padded fp32 on device.
+            arrays["vector_norms"] = jnp.asarray(
+                np.sum(vec_padded.astype(np.float32) ** 2, axis=1)
+            )
         if self.nlist >= self.COARSE_FUSED_MIN_NLIST:
             # Fused coarse probing (see _coarse_probes): centroids stored
             # transposed, L2 folded in by augmentation (ranking-equivalent).
@@ -292,6 +315,9 @@ class IVFIndex:
                 )
             arrays["centroids_t"] = jnp.asarray(ct)
         self._arrays = arrays
+        if store == "compact":
+            self._build_kernel_state(vec_padded)
+        del vec_padded
 
         self._search_jit = jax.jit(
             self._search_impl, static_argnames=("k", "nprobe", "probe_chunk", "rescore")
@@ -322,6 +348,7 @@ class IVFIndex:
         dtype: str = "fp32",
         coarse_metric: str = "l2",
         pad_block: int | None = None,
+        store: str = "padded",
         seed: int = 42,
         max_iter: int = 100,
     ) -> "IVFIndex":
@@ -348,6 +375,7 @@ class IVFIndex:
             dtype=dtype,
             coarse_metric=coarse_metric,
             pad_block=pad_block,
+            store=store,
             config={"seed": seed, "kmeans_max_iter": max_iter},
         )
 
@@ -356,8 +384,15 @@ class IVFIndex:
     def _rescore_rows(self, arrays, queries, vals, rows, k):
         """Exact fp32 re-ranking of candidate padded rows (tiny gather);
         -inf (unfilled) slots stay -inf."""
-        safe = jnp.clip(rows, 0, arrays["vectors"].shape[0] - 1)
-        cand = arrays["vectors"][safe]  # [B, k', D]
+        if "vectors" in arrays:
+            safe = jnp.clip(rows, 0, arrays["vectors"].shape[0] - 1)
+            cand = arrays["vectors"][safe]  # [B, k', D]
+        else:
+            # compact store: padded row → original id → unpadded fp32 row
+            # (padding rows map to id -1 → clipped; masked by vals below).
+            safe = jnp.clip(rows, 0, arrays["reorder"].shape[0] - 1)
+            orig = jnp.clip(arrays["reorder"][safe], 0)
+            cand = arrays["vectors_f32"][orig]  # [B, k', D]
         scores = jnp.einsum(
             "bcd,bd->bc", cand, queries.astype(jnp.float32),
             preferred_element_type=jnp.float32,
@@ -425,11 +460,18 @@ class IVFIndex:
 
     def _ensure_kernel_state(self) -> None:
         """Lazily add the cluster-major kernel's arrays (block-tiled slabs,
-        block tables) to the index state."""
+        block tables) to the index state.  The compact store builds them
+        eagerly at construction (the padded fp32 source is host-transient
+        there)."""
         if "vectors_t" in self._arrays:
             return
+        self._build_kernel_state(
+            np.asarray(self._arrays["vectors"], dtype=np.float32)
+        )
+
+    def _build_kernel_state(self, vec: np.ndarray) -> None:
+        """vec: [Npad, D] fp32 block-padded host array (consumed here)."""
         blk = self.PAD_BLOCK
-        vec = np.asarray(self._arrays["vectors"], dtype=np.float32)  # [Npad, D]
         if self.dtype == "int8":
             # Symmetric per-tensor int8 (ops/quantize.py convention): the
             # slab read halves vs bf16 on the HBM-bound scan; L2 rides a
@@ -861,6 +903,15 @@ class IVFIndex:
             passes when the batch is large enough to overflow one).
         """
         b = queries.shape[0]
+        if self.store == "compact":
+            if mode == "auto":
+                mode = "cluster"
+            if mode != "cluster" or engine not in ("pallas", "pallas_routed"):
+                raise ValueError(
+                    "store='compact' serves the cluster-major pallas engines "
+                    "only (no padded fp32 copy on device for query-major/XLA "
+                    "scans) — build with store='padded' for those modes"
+                )
         if mode == "auto":
             mode = self._pick_mode(b, nprobe)
         if rescore is None:
@@ -913,6 +964,10 @@ class IVFIndex:
                 query_stream.reshape(m * b2, d), k, nprobe, mode="cluster"
             )
             return v.reshape(m, b2, k), i.reshape(m, b2, k), c.reshape(m, b2)
+        if self.store == "compact":
+            raise ValueError(
+                "store='compact' streams via mode='cluster' only"
+            )
         pc = probe_chunk or self._auto_probe_chunk(query_stream.shape[1])
         return self._stream_jit(self._arrays, query_stream, k, nprobe, pc)
 
@@ -980,7 +1035,7 @@ class IVFIndex:
             json.dump(self.config, f, indent=2)
 
     @classmethod
-    def load(cls, index_dir: str) -> "IVFIndex":
+    def load(cls, index_dir: str, store: str = "padded") -> "IVFIndex":
         """Load an index artifact set.
 
         Accepts both layouts the reference's builders emit: the reordered
@@ -1011,5 +1066,6 @@ class IVFIndex:
             metric=config.get("metric", "ip"),
             dtype=config.get("dtype", "fp32"),
             coarse_metric=config.get("coarse_metric", "l2"),
+            store=store,
             config=config,
         )

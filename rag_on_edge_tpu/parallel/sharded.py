@@ -307,6 +307,11 @@ class ShardedIVFIndex:
     """
 
     def __init__(self, index: IVFIndex, mesh: jax.sharding.Mesh):
+        if getattr(index, "store", "padded") == "compact":
+            raise ValueError(
+                "ShardedIVFIndex needs a store='padded' source index "
+                "(per-shard slabs are cut from the padded fp32 copy)"
+            )
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.n_shards = mesh.devices.size

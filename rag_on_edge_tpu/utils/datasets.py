@@ -31,6 +31,9 @@ DEFAULT_DATA_ROOT = os.environ.get(
 DATASET_SPECS: dict[str, tuple[int, int, int, int]] = {
     "siftsmall": (10_000, 100, 128, 64),
     "sift": (1_000_000, 10_000, 128, 4096),
+    # 10x the reference's largest dataset — single-chip scale headroom
+    # (requires IVFIndex store="compact"; see RESULTS.md).
+    "sift10m": (10_000_000, 10_000, 128, 16384),
     # Tiny config for unit tests.
     "unit": (2_048, 32, 128, 16),
 }
@@ -163,6 +166,12 @@ def _ground_truth_jax(
 
     from rag_on_edge_tpu.ops import distances, topk as topk_ops
 
+    if base.shape[0] * query_chunk * 4 > (2 << 30):
+        # The [query_chunk, N] score matrix would blow HBM (10M-scale):
+        # use the exact fused streaming kernel instead — the score matrix
+        # never materializes.
+        return _ground_truth_fused(base, queries, k, metric, query_chunk)
+
     base_dev = jnp.asarray(base, dtype=jnp.float32)
     norms = distances.base_norms_sq(base_dev) if metric == "l2" else None
 
@@ -177,6 +186,38 @@ def _ground_truth_jax(
     for qs in range(0, len(queries), query_chunk):
         q = queries[qs : qs + query_chunk].astype(np.float32)
         _, ids = one_chunk(base_dev, norms, jnp.asarray(q))
+        out[qs : qs + len(q)] = np.asarray(ids)[: len(q)]
+    return out
+
+
+def _ground_truth_fused(
+    base: np.ndarray, queries: np.ndarray, k: int, metric: str, query_chunk: int
+) -> np.ndarray:
+    """Exact ground truth via the fused Pallas streaming kernel
+    (:func:`rag_on_edge_tpu.ops.pallas_bruteforce.fused_topk_matmul`) —
+    fp32, exact selection (no binning), ties to the lowest id; the [B, N]
+    score matrix never exists, so N is bounded by the base itself
+    (~5 GB fp32 at 10M), not by a score buffer."""
+    import jax.numpy as jnp
+
+    from rag_on_edge_tpu.ops.pallas_bruteforce import fused_topk_matmul
+
+    bt = np.ascontiguousarray(base.astype(np.float32).T)  # [D, N]
+    if metric == "l2":
+        # Augmentation: q' = [q, 1], b' = [b, -‖b‖²/2] — q'·b' is a
+        # monotone per-row map of the L2 score, so ids are exact.
+        bt = np.concatenate(
+            [bt, -0.5 * np.sum(base.astype(np.float32) ** 2, axis=1)[None, :]],
+            axis=0,
+        )
+    bt_dev = jnp.asarray(bt)
+    del bt
+    out = np.empty((len(queries), k), dtype=np.int32)
+    for qs in range(0, len(queries), query_chunk):
+        q = queries[qs : qs + query_chunk].astype(np.float32)
+        if metric == "l2":
+            q = np.concatenate([q, np.ones((len(q), 1), np.float32)], axis=1)
+        _, ids = fused_topk_matmul(jnp.asarray(q), bt_dev, k)
         out[qs : qs + len(q)] = np.asarray(ids)[: len(q)]
     return out
 

@@ -335,3 +335,34 @@ def test_spill_excludes_empty_clusters():
     assert int(idx.last_spill) == 0
     _, i_ref, _ = idx.search_device(q, k=4, nprobe=16, mode="cluster", qcap=b)
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(i_ref))
+
+
+@pytest.mark.parametrize("metric,dtype", [("ip", "fp32"), ("l2", "int8")])
+def test_compact_store_matches_padded(small_data, metric, dtype):
+    """store='compact' (no padded fp32 on device) must return the same
+    results as the padded store on the cluster-major pallas path, while
+    rejecting the modes that need the padded copy."""
+    base, queries = small_data
+    q = jnp.asarray(queries)
+    pad = IVFIndex.build(base, nlist=16, metric=metric, dtype=dtype,
+                         seed=42, max_iter=10)
+    cmp_ = IVFIndex.build(base, nlist=16, metric=metric, dtype=dtype,
+                          seed=42, max_iter=10, store="compact")
+    for nprobe in (4, 16):
+        v_p, i_p, c_p = pad.search_device(q, k=10, nprobe=nprobe, mode="cluster",
+                                          qcap=q.shape[0])
+        v_c, i_c, c_c = cmp_.search_device(q, k=10, nprobe=nprobe)  # auto→cluster
+        # same qcap for bit-identical routing
+        v_c, i_c, c_c = cmp_.search_device(q, k=10, nprobe=nprobe, mode="cluster",
+                                           qcap=q.shape[0])
+        np.testing.assert_array_equal(np.asarray(c_p), np.asarray(c_c))
+        np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_c))
+        np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_c), rtol=1e-5)
+    # memory: compact never materializes the padded fp32 copy
+    assert "vectors" not in cmp_._arrays and "vectors_f32" in cmp_._arrays
+    assert cmp_.memory_report()["TOTAL"] < pad.memory_report()["TOTAL"] + \
+        cmp_._arrays["vectors_f32"].size * 4
+    with pytest.raises(ValueError, match="compact"):
+        cmp_.search_device(q, k=10, nprobe=4, mode="query")
+    with pytest.raises(ValueError, match="compact"):
+        cmp_.search_device(q, k=10, nprobe=4, mode="cluster", engine="xla")
