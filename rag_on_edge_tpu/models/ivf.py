@@ -328,7 +328,8 @@ class IVFIndex:
         self._search_cm_jit = jax.jit(
             self._search_cluster_major_impl,
             static_argnames=("k", "nprobe", "qcap", "engine", "rescore",
-                             "recover_qcap", "recover_blocks", "recover_passes"),
+                             "recover_qcap", "recover_blocks", "recover_passes",
+                             "bin_depth", "rescore_k"),
         )
         self._stream_jit = jax.jit(
             lambda arrays, qq, k, nprobe, pc: jax.lax.map(
@@ -510,7 +511,8 @@ class IVFIndex:
         self._arrays["last_block"] = jnp.asarray(lb)
 
     def _cm_recover(self, arrays, qi, probes, todo, bias, k: int,
-                    qcap2: int, cap_blocks: int, engine: str):
+                    qcap2: int, cap_blocks: int, engine: str,
+                    bin_depth: int = 2):
         """Spilled-pair recovery: a second, SPARSE kernel pass over only the
         clusters that dropped routing pairs in the main pass.
 
@@ -565,6 +567,7 @@ class IVFIndex:
             pv2, pr2 = pallas_ivf.cluster_major_scan_routed(
                 qi, cqb2, vec2, bf2, bl2, rv2,
                 k=k, blk=blk, group=self.CM_GROUP, bias=bias2, row_base=rb2,
+                bin_depth=bin_depth,
             )
         else:
             routed2 = (cq2 >= 0)[..., None]
@@ -573,6 +576,7 @@ class IVFIndex:
             pv2, pr2 = pallas_ivf.cluster_major_scan_grouped(
                 qb2, vec2, bf2, bl2, rv2,
                 k=k, blk=blk, group=self.CM_GROUP, bias=bias2, row_base=rb2,
+                bin_depth=bin_depth,
             )
         return pv2, pr2, slot2, cluster_inc, cluster_pos
 
@@ -580,7 +584,9 @@ class IVFIndex:
                                    nprobe: int, qcap: int, engine: str = "xla",
                                    rescore: bool = False, recover_qcap: int = 0,
                                    recover_blocks: int = 0,
-                                   recover_passes: int = 1):
+                                   recover_passes: int = 1,
+                                   bin_depth: int = 2,
+                                   rescore_k: int = 0):
         """Cluster-major search (see class docstring).
 
         Returns (scores [B,k] f32, ids [B,k] i32, n_candidates [B] i32,
@@ -590,7 +596,7 @@ class IVFIndex:
         recovery pass (:meth:`_cm_recover`, pallas engines only); the
         returned spill is then the residual after recovery.
         """
-        kk = min(2 * k, self.n) if rescore else k
+        kk = min(rescore_k or 2 * k, self.n) if rescore else k
         q = queries.astype(jnp.float32)
         b = q.shape[0]
         nprobe = min(nprobe, self.nlist)
@@ -649,6 +655,7 @@ class IVFIndex:
                     arrays["block_first"], arrays["block_last"],
                     arrays["rows_valid"],
                     k=kk, blk=self.PAD_BLOCK, group=self.CM_GROUP, bias=bias,
+                    bin_depth=bin_depth,
                 )
             else:
                 qk = jnp.where(routed, qi[jnp.clip(cq, 0)], jnp.zeros((), qi.dtype))
@@ -660,6 +667,7 @@ class IVFIndex:
                     arrays["block_first"], arrays["block_last"],
                     arrays["rows_valid"],
                     k=kk, blk=self.PAD_BLOCK, group=self.CM_GROUP, bias=bias,
+                    bin_depth=bin_depth,
                 )
             extra = None
             if recover_qcap and recover_blocks:
@@ -673,7 +681,7 @@ class IVFIndex:
                     pv2, pr2, slot2, cluster_inc, cluster_pos = self._cm_recover(
                         arrays, qi, probes, todo, bias,
                         k=kk, qcap2=recover_qcap, cap_blocks=recover_blocks,
-                        engine=engine,
+                        engine=engine, bin_depth=bin_depth,
                     )
                     if alpha is not None:
                         pv2 = alpha * pv2
@@ -880,6 +888,8 @@ class IVFIndex:
         recover_qcap: int | None = None,
         recover_blocks: int | None = None,
         recover_passes: int | None = None,
+        bin_depth: int = 2,
+        rescore_k: int | None = None,
     ):
         """On-device search → (scores [B,k], ids [B,k], n_candidates [B]).
 
@@ -901,6 +911,12 @@ class IVFIndex:
         recover_passes: recovery iterations; each re-invers only the pairs
             still unplaced (default :meth:`_auto_recover_passes` — more
             passes when the batch is large enough to overflow one).
+        bin_depth: survivors per (row, bin) of the kernel's binned
+            selection (default 2).  Raise to 3-4 when near-duplicate
+            neighbors collide in a bin before the fp32 rescore sees them
+            (observed on 10M-scale clusters — see RESULTS.md).
+        rescore_k: fp32 rescore pool size (default 2k): candidates kept
+            per query for the exact re-ranking.
         """
         b = queries.shape[0]
         if self.store == "compact":
@@ -936,7 +952,8 @@ class IVFIndex:
                 rp = recover_passes or self._auto_recover_passes(b, nprobe, rq)
             vals, ids, ncand, spill = self._search_cm_jit(
                 self._arrays, queries, k, nprobe,
-                qcap or self._auto_qcap(b, nprobe), engine, rescore, rq, rb, rp
+                qcap or self._auto_qcap(b, nprobe), engine, rescore, rq, rb, rp,
+                bin_depth, rescore_k or 0,
             )
             self.last_spill = spill
             return vals, ids, ncand

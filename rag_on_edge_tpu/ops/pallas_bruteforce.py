@@ -69,17 +69,21 @@ def _extract_topk(scores, col_ids, k, fill):
     return jnp.concatenate(vals, axis=1), jnp.concatenate(ids, axis=1)
 
 
-def binned_top2(sc_ref, row0, tile_w, nbins, fill):
-    """Top-2-per-strided-bin partial reduction over a staged score tile.
+def binned_top2(sc_ref, row0, tile_w, nbins, fill, depth: int = 2):
+    """Top-``depth``-per-strided-bin partial reduction over a staged tile.
 
     sc_ref: VMEM ref [B, tile_w] (Mosaic cannot lane-slice computed values
     or reshape 2D→3D in registers, so chunks are ref slices); chunk i =
     cols [i·nbins, (i+1)·nbins), bin b = elementwise position b across
     chunks; row0 = global id of the tile's first column.  Returns
-    (vals [B, 2·nbins], ids [B, 2·nbins]); per (row, bin) only the two best
-    members survive — callers recover statistically-lost near-duplicates
-    with a k' > k pool + rescoring (the TPU-KNN PartialReduce trade,
-    arXiv:2206.14286).
+    (vals [B, depth·nbins], ids [B, depth·nbins]); per (row, bin) only the
+    ``depth`` best members survive — callers recover statistically-lost
+    near-duplicates with a k' > k pool + rescoring (the TPU-KNN
+    PartialReduce trade, arXiv:2206.14286).  The strided bin assignment
+    (bin = col % nbins) puts CONSECUTIVE rows in distinct bins, so the
+    cluster-contiguous layout's near-duplicate neighbors rarely collide;
+    raise ``depth`` when they still do (huge clusters, k close to
+    depth·expected-per-bin).
     """
     b = sc_ref.shape[0]
     w = tile_w // nbins
@@ -97,13 +101,14 @@ def binned_top2(sc_ref, row0, tile_w, nbins, fill):
             bid = jnp.minimum(bid, jnp.where(sc == bmax, rc, big))
         return bmax, bid
 
-    bmax1, bid1 = bin_top(s_chunks)
-    s_masked = [jnp.where(rc == bid1, fill, sc) for sc, rc in zip(s_chunks, r_chunks)]
-    bmax2, bid2 = bin_top(s_masked)
-    return (
-        jnp.concatenate([bmax1, bmax2], axis=1),
-        jnp.concatenate([bid1, bid2], axis=1),
-    )
+    vals, ids = [], []
+    chunks = s_chunks
+    for _ in range(depth):
+        bmax, bid = bin_top(chunks)
+        vals.append(bmax)
+        ids.append(bid)
+        chunks = [jnp.where(rc == bid, fill, sc) for sc, rc in zip(chunks, r_chunks)]
+    return jnp.concatenate(vals, axis=1), jnp.concatenate(ids, axis=1)
 
 
 def _kernel(q_ref, base_ref, *rest, k, n, tile_n, acc_dtype, nbins, dyn_n, l2):

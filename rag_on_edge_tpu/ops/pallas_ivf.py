@@ -77,7 +77,7 @@ def _grouped_kernel(
     block_first, block_last, rows_valid, row_base,
     # inputs: qb_ref, vec_ref, [bias_ref], then outputs and scratch
     qb_ref, vec_ref, *rest,
-    k, blk, group, nbins, has_bias,
+    k, blk, group, nbins, bin_depth, has_bias,
 ):
     """Grouped walk: one grid step scores GROUP consecutive blocks with
     entirely regular index maps (the routed-query table is pre-gathered
@@ -124,7 +124,7 @@ def _grouped_kernel(
 
         @pl.when(improves)
         def _select():
-            tv, ti = binned_top2(sc_ref, row_base[j], blk, nbins, fill)
+            tv, ti = binned_top2(sc_ref, row_base[j], blk, nbins, fill, depth=bin_depth)
             cand_v = jnp.concatenate([sv_ref[:], tv], axis=1)
             cand_i = jnp.concatenate([si_ref[:], ti], axis=1)
             mv, mi = _extract_topk(cand_v, cand_i, k, fill)
@@ -138,7 +138,7 @@ def _grouped_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "blk", "group", "nbins", "interpret")
+    jax.jit, static_argnames=("k", "blk", "group", "nbins", "bin_depth", "interpret")
 )
 def cluster_major_scan_grouped(
     qg_blocks: jax.Array,
@@ -150,6 +150,7 @@ def cluster_major_scan_grouped(
     blk: int = 2048,
     group: int = 4,
     nbins: int = 128,
+    bin_depth: int = 2,
     bias: jax.Array | None = None,
     row_base: jax.Array | None = None,
     interpret: bool | None = None,
@@ -217,7 +218,7 @@ def cluster_major_scan_grouped(
         ],
     )
     kernel = functools.partial(
-        _grouped_kernel, k=k, blk=blk, group=group, nbins=nbins,
+        _grouped_kernel, k=k, blk=blk, group=group, nbins=nbins, bin_depth=bin_depth,
         has_bias=bias is not None,
     )
     pv, pr = pl.pallas_call(
@@ -243,7 +244,7 @@ def _routed_grouped_kernel(
     block_first, block_last, rows_valid, row_base,
     # inputs: qi_ref (resident), cq_ref, vec_ref, [bias_ref], outs, scratch
     qi_ref, cq_ref, vec_ref, *rest,
-    k, blk, group, nbins, has_bias,
+    k, blk, group, nbins, bin_depth, has_bias,
 ):
     """Grouped walk with IN-KERNEL routing: instead of reading a
     pre-gathered [nblocks, qcap, D] table from HBM, the whole query batch
@@ -296,7 +297,7 @@ def _routed_grouped_kernel(
 
         @pl.when(improves)
         def _select():
-            tv, ti = binned_top2(sc_ref, row_base[j], blk, nbins, fill)
+            tv, ti = binned_top2(sc_ref, row_base[j], blk, nbins, fill, depth=bin_depth)
             cand_v = jnp.concatenate([sv_ref[:], tv], axis=1)
             cand_i = jnp.concatenate([si_ref[:], ti], axis=1)
             mv, mi = _extract_topk(cand_v, cand_i, k, fill)
@@ -310,7 +311,7 @@ def _routed_grouped_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "blk", "group", "nbins", "interpret")
+    jax.jit, static_argnames=("k", "blk", "group", "nbins", "bin_depth", "interpret")
 )
 def cluster_major_scan_routed(
     qi: jax.Array,
@@ -323,6 +324,7 @@ def cluster_major_scan_routed(
     blk: int = 2048,
     group: int = 4,
     nbins: int = 128,
+    bin_depth: int = 2,
     bias: jax.Array | None = None,
     row_base: jax.Array | None = None,
     interpret: bool | None = None,
@@ -391,7 +393,7 @@ def cluster_major_scan_routed(
         ],
     )
     kernel = functools.partial(
-        _routed_grouped_kernel, k=k, blk=blk, group=group, nbins=nbins,
+        _routed_grouped_kernel, k=k, blk=blk, group=group, nbins=nbins, bin_depth=bin_depth,
         has_bias=bias is not None,
     )
     pv, pr = pl.pallas_call(
@@ -417,7 +419,7 @@ def _kernel(
     block_cluster, block_first, block_last, rows_valid, row_base,
     # inputs: q_ref, vec_ref, [bias_ref], then outputs and scratch
     q_ref, vec_ref, *rest,
-    k, blk, nbins, has_bias,
+    k, blk, nbins, bin_depth, has_bias,
 ):
     if has_bias:
         bias_ref, out_v_ref, out_i_ref, sv_ref, si_ref, sc_ref = rest
@@ -459,7 +461,7 @@ def _kernel(
         # brute-force kernel; TPU-KNN PartialReduce, arXiv:2206.14286) —
         # lost near-duplicates are recovered statistically by the k' > k
         # candidate pool + fp32 rescore downstream.
-        tv, ti = binned_top2(sc_ref, row_base[j], blk, nbins, fill)
+        tv, ti = binned_top2(sc_ref, row_base[j], blk, nbins, fill, depth=bin_depth)
         # Merge into the running top-k (narrow: k + 2*nbins wide).
         cand_v = jnp.concatenate([sv_ref[:], tv], axis=1)
         cand_i = jnp.concatenate([si_ref[:], ti], axis=1)
@@ -473,7 +475,7 @@ def _kernel(
         out_i_ref[0] = si_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "blk", "nbins", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "blk", "nbins", "bin_depth", "interpret"))
 def cluster_major_scan(
     qg: jax.Array,
     vectors_t: jax.Array,
@@ -484,6 +486,7 @@ def cluster_major_scan(
     k: int,
     blk: int = 512,
     nbins: int = 128,
+    bin_depth: int = 2,
     bias: jax.Array | None = None,
     row_base: jax.Array | None = None,
     interpret: bool | None = None,
@@ -567,7 +570,7 @@ def cluster_major_scan(
         ],
     )
     kernel = functools.partial(
-        _kernel, k=k, blk=blk, nbins=nbins, has_bias=bias is not None
+        _kernel, k=k, blk=blk, nbins=nbins, bin_depth=bin_depth, has_bias=bias is not None
     )
     pv, pr = pl.pallas_call(
         kernel,

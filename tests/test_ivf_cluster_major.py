@@ -366,3 +366,18 @@ def test_compact_store_matches_padded(small_data, metric, dtype):
         cmp_.search_device(q, k=10, nprobe=4, mode="query")
     with pytest.raises(ValueError, match="compact"):
         cmp_.search_device(q, k=10, nprobe=4, mode="cluster", engine="xla")
+
+
+def test_bin_depth_and_rescore_k(small_data, ivf):
+    """Deeper binned selection and a larger rescore pool are recall-safe
+    knobs: results at depth 4 / pool 4k must be at least as good as the
+    defaults (here: identical, since defaults already reach full recall)."""
+    _, queries = small_data
+    q = jnp.asarray(queries)
+    v0, i0, c0 = ivf.search_device(q, k=10, nprobe=16, mode="cluster",
+                                   qcap=q.shape[0])
+    v1, i1, c1 = ivf.search_device(q, k=10, nprobe=16, mode="cluster",
+                                   qcap=q.shape[0], bin_depth=4, rescore_k=40)
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    assert recall_at_k(np.asarray(i1), np.asarray(i0), 10) == 1.0
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-5)
