@@ -36,6 +36,7 @@ __all__ = ["build_or_load_index", "run", "main"]
 def build_or_load_index(
     ds, nlist: int | None, metric: str, dtype: str, seed: int = 42,
     cache_root: str | None = None, pad_block: int | None = None,
+    store: str = "padded",
 ) -> IVFIndex:
     """Index persistence as compiled-artifact cache (regenerate only if
     missing), mirroring ``run_all_ivf.sh:72-94``."""
@@ -46,9 +47,9 @@ def build_or_load_index(
         cache_root, ds.name, f"ivf_nlist{nlist}_{metric}_{dtype}_seed{seed}{pb_tag}"
     )
     if os.path.exists(os.path.join(cache, "ivf_config.json")):
-        return IVFIndex.load(cache)
+        return IVFIndex.load(cache, store=store)
     index = IVFIndex.build(ds.base, nlist=nlist, metric=metric, dtype=dtype, seed=seed,
-                           pad_block=pad_block,
+                           pad_block=pad_block, store=store,
                            max_iter=25 if ds.base.shape[0] > 200_000 else 100)
     index.save(cache)
     return index
@@ -69,6 +70,7 @@ def run(
     max_queries: int | None = None,
     pad_block: int | None = None,
     recover: bool | None = None,
+    store: str = "padded",
 ) -> list[dict]:
     ds = load_dataset(dataset, gt_k=max(k, 10))
     if max_queries:
@@ -76,7 +78,7 @@ def run(
         ds.ground_truth_ip = ds.ground_truth_ip[:max_queries]
         ds.ground_truth_l2 = ds.ground_truth_l2[:max_queries]
     t0 = time.perf_counter()
-    index = build_or_load_index(ds, nlist, metric, dtype, pad_block=pad_block)
+    index = build_or_load_index(ds, nlist, metric, dtype, pad_block=pad_block, store=store)
     build_s = time.perf_counter() - t0
     gt = ds.gt(metric)
     n = ds.base.shape[0]

@@ -73,6 +73,7 @@ def sweep_ivf(
     outdir: str = "results",
     pad_block: int | None = None,
     recover: bool | None = None,
+    store: str = "padded",
 ) -> list[dict]:
     """nprobe sweep (the reference's {8,16,32,64} with top_k=10,
     ``run_all_ivf.sh:26-27``) plus the recall-target summary of the
@@ -81,7 +82,7 @@ def sweep_ivf(
     rows = bench_ivf.run(
         dataset=dataset, nprobes=tuple(nprobes), k=k, batch=batch,
         nlist=nlist, dtype=dtype, metric=metric, mode=mode, outdir=out,
-        pad_block=pad_block, recover=recover,
+        pad_block=pad_block, recover=recover, store=store,
     )
     for line in recall_target_summary(rows):
         print(line)
@@ -109,6 +110,9 @@ def main(argv=None) -> None:
     pi.add_argument("--pad-block", type=int, default=None)
     pi.add_argument("--recover", action=argparse.BooleanOptionalAction, default=None,
                     help="spilled-pair recovery pass (default: auto, on at nprobe>=16)")
+    pi.add_argument("--store", default="padded", choices=["padded", "compact"],
+                    help="device storage: compact drops the padded fp32 copy "
+                         "(cluster-major pallas only; required for sift10m)")
     pi.add_argument("--outdir", default="results")
     args = p.parse_args(argv)
     if args.cmd == "brute":
@@ -116,7 +120,7 @@ def main(argv=None) -> None:
     else:
         sweep_ivf(args.dataset, tuple(args.nprobe), args.k, args.batch, args.nlist,
                   args.dtype, args.metric, args.mode, args.outdir, args.pad_block,
-                  args.recover)
+                  args.recover, args.store)
 
 
 if __name__ == "__main__":
