@@ -55,13 +55,16 @@ def _ivf_1m_qps(batch: int = 8192, nprobe: int = 4, k: int = 10):
     import numpy as np
 
     from rag_on_edge_tpu.harness import timing
-    from rag_on_edge_tpu.models.ivf import IVFIndex
+    from rag_on_edge_tpu.harness.bench_ivf import build_or_load_index
     from rag_on_edge_tpu.utils.datasets import load_dataset
     from rag_on_edge_tpu.utils.metrics import recall_at_k
 
     ds = load_dataset("sift", gt_k=k)
-    idx = IVFIndex.build(ds.base, nlist=1024, metric="l2", dtype="int8",
-                         seed=42, max_iter=20, pad_block=2048)
+    # ONE canonical 1M index (build_or_load_index owns the config and the
+    # on-disk cache): BENCH_rNN and the harness/RESULTS.md sweeps quote
+    # the same artifact.
+    idx = build_or_load_index(ds, nlist=1024, metric="l2", dtype="int8",
+                              pad_block=2048)
     nq = ds.queries.shape[0]
     qs = np.resize(ds.queries, (batch, ds.queries.shape[1]))
     gt = ds.ground_truth_l2

@@ -86,6 +86,21 @@ def run(
     gflops = flops_per_batch / (lat.mean * 1e-3) / 1e9 if lat.mean else 0.0
     oi = metrics.operational_intensity(batch, dim, n, dtype_bytes=1 if dtype == "int8" else 4)
 
+    # Time breakdown — the honest TPU analog of the reference's
+    # quantize/execute/top-k/post-processing percentages (main.cpp:383-388):
+    # the fused kernel dissolves those phases on purpose, so the split that
+    # remains is device compute (sustained, amortized) vs host dispatch +
+    # result round trip (single-dispatch latency minus the device share).
+    device_ms = 1e3 * batch / qps if qps else float("nan")
+    dispatch_ms = max(lat.mean - device_ms, 0.0)
+    breakdown = [
+        f"device_compute_ms_per_batch (sustained): {device_ms:.4f} "
+        f"({100 * device_ms / lat.mean:.1f}%)" if lat.mean else "n/a",
+        f"dispatch_and_roundtrip_ms (single-dispatch - device): {dispatch_ms:.4f} "
+        f"({100 * dispatch_ms / lat.mean:.1f}%)" if lat.mean else "n/a",
+        f"single_dispatch_total_ms: {lat.mean:.4f}",
+    ]
+
     result = {
         "dataset": dataset,
         "n_base": n,
@@ -127,6 +142,7 @@ def run(
                     f"per_query_latency_amortized_ms: {1e3 / qps:.4f}",
                 ],
                 "Device Execution": lat.lines("batch"),
+                "Time Breakdown": breakdown,
                 "Compute Performance": [
                     f"gflops (batch-latency based): {gflops:.1f}",
                 ],

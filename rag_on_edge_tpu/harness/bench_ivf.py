@@ -71,6 +71,7 @@ def run(
     pad_block: int | None = None,
     recover: bool | None = None,
     store: str = "padded",
+    vs_brute: bool | None = None,
 ) -> list[dict]:
     ds = load_dataset(dataset, gt_k=max(k, 10))
     if max_queries:
@@ -95,6 +96,23 @@ def run(
         return _topk.small_topk(c, min(max(nprobes), index.nlist))[1]
 
     coarse_jit = jax.jit(_coarse)
+
+    # Measured IVF-vs-brute speedup (the reference reports per-nprobe
+    # speedup against its own brute path, benchmark_ivf.py:220-257).
+    # Default: on up to 1M base vectors (brute on 10M+ costs minutes and
+    # its own memory; pass vs_brute=True to force).
+    if vs_brute is None:
+        vs_brute = n <= 1_000_000
+    brute_qps = None
+    if vs_brute:
+        from rag_on_edge_tpu.models.brute_force import BruteForceIndex
+
+        brute = BruteForceIndex(ds.base, metric=metric, dtype=dtype)
+        bbatches = _device_batches(ds.queries, batch)
+        brute_qps = timing.measure_throughput(
+            lambda q: brute.search_device(q, k), bbatches, repeats=max(3, repeats // 3)
+        )
+        del brute
 
     results = []
     deploy_lines = [f"index_build_or_load_s: {build_s:.2f}"]
@@ -125,7 +143,16 @@ def run(
             recover=recover,
         )
         recall = metrics.recall_at_k(ids, gt, k) if gt is not None else float("nan")
+        recall1 = metrics.recall_at_k(ids, gt, 1) if gt is not None else float("nan")
         reduction = n / avg_cand if avg_cand else float("inf")
+        speedup = qps / brute_qps if brute_qps else None
+        # Compute section (reference main_ivf.cpp:250-265: centroid + fine
+        # FLOPs and GFLOPS).  Fine FLOPs use the measured avg candidate
+        # count; GFLOPS uses the sustained device rate.
+        dim = ds.base.shape[1]
+        centroid_flops_q = 2.0 * dim * index.nlist
+        fine_flops_q = 2.0 * dim * avg_cand
+        gflops = (centroid_flops_q + fine_flops_q) * qps / 1e9
         row = {
             "dataset": dataset,
             "nlist": index.nlist,
@@ -133,16 +160,21 @@ def run(
             "k": k,
             "batch": batch,
             "recall": recall,
+            "recall_at_1": recall1,
             "qps": qps,
+            "gflops": gflops,
+            "speedup_vs_brute": speedup,
             "avg_candidates": avg_cand,
             "reduction": reduction,
             "latency": lat,
         }
         results.append(row)
         if not quiet:
+            sp = f" speedup={speedup:.1f}x" if speedup else ""
             print(
                 f"[ivf {dtype}] {dataset} nlist={index.nlist} nprobe={nprobe} B={batch} "
-                f"K={k}: recall@{k}={recall:.4f} QPS={qps:,.0f} "
+                f"K={k}: recall@{k}={recall:.4f} recall@1={recall1:.4f} "
+                f"QPS={qps:,.0f}{sp} "
                 f"cand={avg_cand:.0f} ({reduction:.1f}x reduction) "
                 f"lat(ms) mean={lat.mean:.3f} p95={lat.p95:.3f}"
             )
@@ -166,7 +198,10 @@ def run(
                         f"{index.config['cluster_size_avg']:.1f}/"
                         f"{index.config['cluster_size_max']}",
                     ],
-                    "Accuracy": [f"recall@{k}: {recall:.4f}"],
+                    "Accuracy": [
+                        f"recall@{k}: {recall:.4f}",
+                        f"recall@1: {recall1:.4f}",
+                    ],
                     "Candidate Statistics": [
                         f"avg_candidates_per_query: {avg_cand:.1f}",
                         f"candidate_reduction: {reduction:.1f}x",
@@ -174,6 +209,14 @@ def run(
                     "Overall Performance": [
                         f"throughput_qps: {qps:.1f}",
                         f"per_query_latency_amortized_ms: {1e3 / qps:.4f}",
+                    ]
+                    + ([f"speedup_vs_bruteforce: {speedup:.2f}x "
+                        f"(brute {brute_qps:.1f} QPS, same batch/dtype)"]
+                       if speedup else []),
+                    "Compute": [
+                        f"centroid_flops_per_query: {centroid_flops_q:.3e}",
+                        f"fine_flops_per_query (avg candidates): {fine_flops_q:.3e}",
+                        f"total_gflops (sustained): {gflops:.1f}",
                     ],
                     "Phase Breakdown": phase_lines,
                     "Device Execution": lat.lines("batch"),
@@ -211,12 +254,16 @@ def main(argv=None) -> None:
     p.add_argument("--repeats", type=int, default=10)
     p.add_argument("--outdir", default="results")
     p.add_argument("--json", action="store_true")
+    p.add_argument("--vs-brute", dest="vs_brute", action="store_true", default=None,
+                   help="force the measured IVF-vs-brute speedup (default: auto ≤1M)")
+    p.add_argument("--no-vs-brute", dest="vs_brute", action="store_false")
     args = p.parse_args(argv)
     rows = run(
         dataset=args.dataset, nlist=args.nlist, nprobes=tuple(args.nprobe),
         k=args.k, batch=args.batch, dtype=args.dtype, metric=args.metric,
         mode=args.mode, repeats=args.repeats, outdir=args.outdir,
         quiet=args.json, max_queries=args.max_queries, pad_block=args.pad_block,
+        vs_brute=args.vs_brute,
     )
     if args.json:
         for r in rows:
