@@ -36,20 +36,23 @@ __all__ = ["build_or_load_index", "run", "main"]
 def build_or_load_index(
     ds, nlist: int | None, metric: str, dtype: str, seed: int = 42,
     cache_root: str | None = None, pad_block: int | None = None,
-    store: str = "padded",
+    store: str = "padded", kmeans_init: str = "kmeans++",
 ) -> IVFIndex:
     """Index persistence as compiled-artifact cache (regenerate only if
-    missing), mirroring ``run_all_ivf.sh:72-94``."""
+    missing), mirroring ``run_all_ivf.sh:72-94``.  This function OWNS the
+    canonical build config (one artifact for bench.py and the sweeps)."""
     nlist = default_nlist(ds.base.shape[0], nlist)
     cache_root = cache_root or DEFAULT_DATA_ROOT
     pb_tag = f"_pb{pad_block}" if pad_block else ""
+    init_tag = "_pp" if kmeans_init == "kmeans++" else ""
     cache = os.path.join(
-        cache_root, ds.name, f"ivf_nlist{nlist}_{metric}_{dtype}_seed{seed}{pb_tag}"
+        cache_root, ds.name,
+        f"ivf_nlist{nlist}_{metric}_{dtype}_seed{seed}{pb_tag}{init_tag}",
     )
     if os.path.exists(os.path.join(cache, "ivf_config.json")):
         return IVFIndex.load(cache, store=store)
     index = IVFIndex.build(ds.base, nlist=nlist, metric=metric, dtype=dtype, seed=seed,
-                           pad_block=pad_block, store=store,
+                           pad_block=pad_block, store=store, kmeans_init=kmeans_init,
                            max_iter=25 if ds.base.shape[0] > 200_000 else 100)
     index.save(cache)
     return index

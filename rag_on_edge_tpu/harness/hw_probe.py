@@ -226,6 +226,8 @@ def probe_pallas_stream(repeats=6):
                 x = jnp.asarray(rng.standard_normal((128, d)), dt)
             xf = jnp.asarray(np.zeros((8, 128), np.float32))
             for fat in [1, 4]:
+                if 2 * fat * d * blk * isz > 12 << 20:
+                    continue  # double-buffered window would blow VMEM
                 for gemm in [False, True]:
                     for semantics in [None, "arbitrary"]:
                         fn = lambda v, _d=data, _x=x, _b=blk, _f=fat, _g=gemm, _s=semantics: (  # noqa: E731,E501
@@ -243,10 +245,152 @@ def probe_pallas_stream(repeats=6):
                               f"  {us_step:6.2f} us/step")
 
 
+# ------------------------------------------------- manual multi-DMA pipeline
+
+
+def _dma_kernel(hbm_ref, o_ref, scratch, sems, *, depth, nblocks, gemm, q=None):
+    """Walk hbm_ref [nblocks, d, blk] with `depth` DMAs in flight."""
+    ngroups = nblocks // depth
+
+    def group(g, acc):
+        accs = acc
+        for j in range(depth):
+            pltpu.make_async_copy(
+                hbm_ref.at[g * depth + j], scratch.at[j], sems.at[j]
+            ).start()
+        for j in range(depth):
+            pltpu.make_async_copy(
+                hbm_ref.at[g * depth + j], scratch.at[j], sems.at[j]
+            ).wait()
+            accs = jnp.maximum(accs, jnp.max(scratch[j].astype(jnp.float32)))
+        return accs
+
+    acc = jax.lax.fori_loop(0, ngroups, group, jnp.float32(-jnp.inf))
+    o_ref[:] = jnp.full((8, 128), acc, jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("depth",))
+def _dma_probe(x, data, depth):
+    nblocks, d, blk = data.shape
+    return pl.pallas_call(
+        functools.partial(_dma_kernel, depth=depth, nblocks=nblocks, gemm=False),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((depth, d, blk), data.dtype),
+            pltpu.SemaphoreType.DMA((depth,)),
+        ],
+    )(data).reshape(-1)[:1] + jnp.sum(x) * 0
+
+
+def probe_pallas_dma(repeats=6):
+    """MARGINAL bandwidth: time a full and a quarter walk of the same
+    array and divide the byte delta by the time delta — the ~5-6 ms
+    per-execution fixed cost of this platform otherwise dominates any
+    sub-GB walk and understates bandwidth several-fold."""
+    print("== Pallas manual multi-DMA streaming (marginal GB/s) ==")
+    rng = np.random.default_rng(0)
+    d = 128
+    total = 2 << 30
+    xf = jnp.zeros((8, 128), jnp.float32)
+    for dt, blk in [(jnp.int8, 2048), (jnp.int8, 8192), (jnp.bfloat16, 2048)]:
+        isz = np.dtype(dt).itemsize
+        nblocks = total // (d * blk * isz)
+        nblocks -= nblocks % 64
+        if dt == jnp.int8:
+            data = jnp.asarray(
+                rng.integers(-127, 127, (nblocks, d, blk), dtype=np.int8))
+        else:
+            data = jnp.asarray(rng.standard_normal((nblocks, d, blk)), dt)
+        small = data[: nblocks // 4]
+        for depth in [1, 4, 8]:
+            if depth * d * blk * isz > 12 << 20:
+                continue
+            t_full = _sec_per_call(
+                lambda v, _d=data, _k=depth: _dma_probe(v, _d, _k), xf, repeats)
+            t_quarter = _sec_per_call(
+                lambda v, _d=small, _k=depth: _dma_probe(v, _d, _k), xf, repeats)
+            db = (nblocks - nblocks // 4) * d * blk * isz
+            gbs = db / max(t_full - t_quarter, 1e-9) / 1e9
+            print(f"  {np.dtype(dt).name:<8} blk={blk:<5} depth={depth}"
+                  f" full={t_full*1e3:8.2f} ms quarter={t_quarter*1e3:8.2f} ms"
+                  f"  marginal {gbs:7.1f} GB/s")
+
+
+# ----------------------------------------------------- in-kernel GEMM rate
+
+
+def _gemm_rate_kernel(q_ref, v_ref, o_ref, *, sel):
+    i = pl.program_id(0)
+    # Per-step scalar twist defeats loop-invariant hoisting of the GEMM.
+    q = q_ref[:]
+    if q.dtype == jnp.int8:
+        qx = jnp.where((i % 2) == 0, q, -q)
+        acc = jnp.int32
+    else:
+        qx = q * (1.0 + i).astype(q.dtype)
+        acc = jnp.float32
+    scores = jax.lax.dot_general(
+        qx, v_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=acc
+    )
+    if sel:
+        m = jnp.max(scores.astype(jnp.float32), axis=1, keepdims=True)
+    else:
+        m = jnp.max(scores.astype(jnp.float32))
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        o_ref[:] = jnp.full((8, 128), jnp.max(m), jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("g", "tb", "tn", "sel"))
+def _gemm_rate_probe(x, q, v, g, tb, tn, sel):
+    out = pl.pallas_call(
+        functools.partial(_gemm_rate_kernel, sel=sel),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((tb, q.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((v.shape[0], tn), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+    )(q, v)
+    return out.reshape(-1)[:1] + jnp.sum(x) * 0
+
+
+def probe_pallas_gemm(repeats=6):
+    """Pure MXU rate inside a Mosaic grid loop (no DMA: operands resident),
+    measured as a slope between two grid lengths."""
+    print("== Pallas in-kernel GEMM rate (slope) ==")
+    rng = np.random.default_rng(0)
+    d = 128
+    xf = jnp.zeros((8, 128), jnp.float32)
+    for dt in [jnp.int8, jnp.bfloat16]:
+        for tb, tn in [(128, 2048), (256, 2048), (512, 2048), (256, 5632),
+                       (1024, 2048), (256, 1024)]:
+            if dt == jnp.int8:
+                q = jnp.asarray(rng.integers(-127, 127, (tb, d), dtype=np.int8))
+                v = jnp.asarray(rng.integers(-127, 127, (d, tn), dtype=np.int8))
+            else:
+                q = jnp.asarray(rng.standard_normal((tb, d)), dt)
+                v = jnp.asarray(rng.standard_normal((d, tn)), dt)
+            ts = {}
+            for g in [512, 2048]:
+                fn = lambda w, _g=g: _gemm_rate_probe(w, q, v, _g, tb, tn, False)  # noqa: E731
+                ts[g] = _sec_per_call(fn, xf, repeats)
+            slope = (ts[2048] - ts[512]) / (2048 - 512)
+            tops = 2 * tb * d * tn / max(slope, 1e-12) / 1e12
+            print(f"  {np.dtype(dt).name:<8} [{tb:>4}x{d}]x[{d}x{tn:>5}]"
+                  f"  {slope*1e6:7.2f} us/step  {tops:7.1f} TOPS")
+
+
 PROBES = {
     "xla": probe_xla,
     "pallas_step": probe_pallas_step,
     "pallas_stream": probe_pallas_stream,
+    "pallas_dma": probe_pallas_dma,
+    "pallas_gemm": probe_pallas_gemm,
 }
 
 

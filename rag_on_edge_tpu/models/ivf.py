@@ -352,12 +352,14 @@ class IVFIndex:
         store: str = "padded",
         seed: int = 42,
         max_iter: int = 100,
+        kmeans_init: str = "kmeans++",
     ) -> "IVFIndex":
         """Train the coarse quantizer and lay out clusters contiguously."""
         base = np.asarray(base, dtype=np.float32)
         n = base.shape[0]
         nlist = kmeans_mod.default_nlist(n, nlist)
-        centroids, assign = kmeans_mod.kmeans(base, nlist, seed=seed, max_iter=max_iter)
+        centroids, assign = kmeans_mod.kmeans(base, nlist, seed=seed,
+                                              max_iter=max_iter, init=kmeans_init)
 
         # Stable sort by cluster id → contiguous slabs; argsort indices are
         # exactly the reorder_to_original map (reordered row r holds original
@@ -377,7 +379,8 @@ class IVFIndex:
             coarse_metric=coarse_metric,
             pad_block=pad_block,
             store=store,
-            config={"seed": seed, "kmeans_max_iter": max_iter},
+            config={"seed": seed, "kmeans_max_iter": max_iter,
+                    "kmeans_init": kmeans_init},
         )
 
     # ------------------------------------------------------------- search impl

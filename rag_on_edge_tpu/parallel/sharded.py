@@ -278,6 +278,28 @@ class ShardedBruteForceIndex:
         return ids_out, scores_out
 
 
+def _put_sharded(mesh, axis: str, shape, dtype, shard_fn):
+    """Assemble a global [S, ...] array from per-shard host slices.
+
+    ``shard_fn(s)`` returns the numpy array for shard ``s`` with shape
+    ``shape[1:]``.  Each slice is placed directly on its device and the
+    global array is assembled with
+    ``jax.make_array_from_single_device_arrays`` — peak host memory is ONE
+    shard's slice, not the S-stacked copy the naive ``device_put`` of a
+    dense [S, ...] array would require (several full database copies at
+    10M x 8 shards).
+    """
+    devices = list(mesh.devices.ravel())
+    assert shape[0] == len(devices)
+    sharding = NamedSharding(mesh, P(axis, *([None] * (len(shape) - 1))))
+    bufs = []
+    for s, d in enumerate(devices):
+        arr = np.asarray(shard_fn(s), dtype=dtype)
+        assert arr.shape == tuple(shape[1:]), (arr.shape, shape)
+        bufs.append(jax.device_put(arr[None], d))
+    return jax.make_array_from_single_device_arrays(tuple(shape), sharding, bufs)
+
+
 def _partition_clusters(offsets: np.ndarray, n_shards: int) -> list[tuple[int, int]]:
     """Assign contiguous cluster ranges to shards, balancing row counts.
 
@@ -307,11 +329,6 @@ class ShardedIVFIndex:
     """
 
     def __init__(self, index: IVFIndex, mesh: jax.sharding.Mesh):
-        if getattr(index, "store", "padded") == "compact":
-            raise ValueError(
-                "ShardedIVFIndex needs a store='padded' source index "
-                "(per-shard slabs are cut from the padded fp32 copy)"
-            )
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.n_shards = mesh.devices.size
@@ -322,44 +339,13 @@ class ShardedIVFIndex:
         self.n, self.dim = index.n, index.dim
         self.max_cluster_size = index.max_cluster_size
 
-        offsets = index._offsets_np.astype(np.int64)  # [nlist+1]
-        sizes = np.diff(offsets).astype(np.int32)
-        bounds = _partition_clusters(offsets, self.n_shards)
-        rows_max = max((int(offsets[hi] - offsets[lo]) for lo, hi in bounds), default=1)
-        rows_max = max(rows_max, 1)
-
-        S = self.n_shards
-        vecs = np.zeros((S, rows_max, self.dim), dtype=np.float32)
-        local_reorder = np.full((S, rows_max), -1, dtype=np.int32)
-        offs_local = np.zeros((S, self.nlist), dtype=np.int32)
-        sizes_local = np.zeros((S, self.nlist), dtype=np.int32)
-        for s, (lo, hi) in enumerate(bounds):
-            r0, r1 = int(offsets[lo]), int(offsets[hi])
-            nloc = r1 - r0
-            vecs[s, :nloc] = index._vectors_np[r0:r1]
-            local_reorder[s, :nloc] = index._reorder_np[r0:r1]
-            offs_local[s, lo:hi] = (offsets[lo:hi] - r0).astype(np.int32)
-            sizes_local[s, lo:hi] = sizes[lo:hi]
-
-        sh = lambda *spec: NamedSharding(mesh, P(*spec))  # noqa: E731
-        vecs_j = jnp.asarray(vecs)
-        if self.dtype == "bf16":
-            vecs_j = vecs_j.astype(jnp.bfloat16)
-        self._vectors = jax.device_put(vecs_j, sh(self.axis, None, None))
-        self._local_reorder = jax.device_put(jnp.asarray(local_reorder), sh(self.axis, None))
-        self._offs_local = jax.device_put(jnp.asarray(offs_local), sh(self.axis, None))
-        self._sizes_local = jax.device_put(jnp.asarray(sizes_local), sh(self.axis, None))
         self._centroids = jnp.asarray(index._centroids_np)
         self._centroid_norms = (
             distances.base_norms_sq(self._centroids) if self.coarse_metric == "l2" else None
         )
-        if self.metric == "l2":
-            norms = np.sum(vecs.astype(np.float32) ** 2, axis=2)
-            self._vector_norms = jax.device_put(jnp.asarray(norms), sh(self.axis, None))
-        else:
-            self._vector_norms = None
 
         self._src_index = index  # host-side arrays reused for lazy layouts
+        self._qm_arrays: dict | None = None  # query-major per-shard layout
         self._cm_arrays: dict | None = None
         self.last_spill = None  # routing spill of the last cluster-major call
         self._search_jit = jax.jit(
@@ -371,107 +357,217 @@ class ShardedIVFIndex:
                              "recover_blocks", "recover_passes"),
         )
 
+    # ------------------------------------------------- query-major (gather)
+
+    def _ensure_query_state(self) -> None:
+        """Per-shard layout for the query-major gather fine scan: unpadded
+        cluster-contiguous fp32 rows (both stores keep the host copy), with
+        local CSR offsets.  Built lazily — cluster-major-only serving (the
+        10M flagship) never pays for it — and placed shard-by-shard
+        (:func:`_put_sharded`), never as a host-stacked [S, ...] copy."""
+        if self._qm_arrays is not None:
+            return
+        index = self._src_index
+        offsets = index._offsets_np.astype(np.int64)  # [nlist+1]
+        sizes = np.diff(offsets).astype(np.int32)
+        bounds = _partition_clusters(offsets, self.n_shards)
+        rows_max = max(
+            max((int(offsets[hi] - offsets[lo]) for lo, hi in bounds), default=1), 1
+        )
+        S = self.n_shards
+        mesh, axis = self.mesh, self.axis
+
+        def cut(s, fill, src, dtype, extra_cols=None):
+            lo, hi = bounds[s]
+            r0, r1 = int(offsets[lo]), int(offsets[hi])
+            shape = (rows_max,) + src.shape[1:]
+            out = np.full(shape, fill, dtype=dtype)
+            out[: r1 - r0] = src[r0:r1]
+            return out
+
+        dt = np.float32
+        vecs = _put_sharded(
+            mesh, axis, (S, rows_max, self.dim),
+            jnp.bfloat16 if self.dtype == "bf16" else np.float32,
+            lambda s: cut(s, 0, index._vectors_np, dt),
+        )
+        reorder = _put_sharded(
+            mesh, axis, (S, rows_max), np.int32,
+            lambda s: cut(s, -1, index._reorder_np, np.int32),
+        )
+
+        def locals_for(s):
+            lo, hi = bounds[s]
+            r0 = int(offsets[lo])
+            offs = np.zeros(self.nlist, np.int32)
+            szs = np.zeros(self.nlist, np.int32)
+            offs[lo:hi] = (offsets[lo:hi] - r0).astype(np.int32)
+            szs[lo:hi] = sizes[lo:hi]
+            return offs, szs
+
+        offs_local = _put_sharded(mesh, axis, (S, self.nlist), np.int32,
+                                  lambda s: locals_for(s)[0])
+        sizes_local = _put_sharded(mesh, axis, (S, self.nlist), np.int32,
+                                   lambda s: locals_for(s)[1])
+        arrays = {
+            "vectors": vecs,
+            "reorder": reorder,
+            "offs": offs_local,
+            "sizes": sizes_local,
+        }
+        if self.metric == "l2":
+            arrays["vector_norms"] = _put_sharded(
+                mesh, axis, (S, rows_max), np.float32,
+                lambda s: np.sum(
+                    cut(s, 0, index._vectors_np, dt).astype(np.float32) ** 2, axis=1
+                ),
+            )
+        self._qm_arrays = arrays
+
     # ------------------------------------------------- cluster-major (pallas)
 
     def _ensure_cluster_state(self) -> None:
         """Per-shard block-padded layouts for the cluster-major kernel.
 
-        Splits the single-chip padded layout at the shard's cluster
-        boundaries; block tables carry GLOBAL cluster ids, so the
-        replicated routed-query table indexes directly.
+        Works for BOTH stores: the kernel slabs are sliced from the source
+        index's own ``vectors_t`` (already quantized/augmented, one global
+        int8 scale — cross-shard comparable), block tables carry GLOBAL
+        cluster ids so the replicated routed-query table indexes directly,
+        and the fp32 rescore source is COMPACT (unpadded, reached through
+        per-cluster offset maps) — no padded fp32 copy per shard.  Every
+        per-shard array is placed with :func:`_put_sharded`; peak host
+        memory is one shard's slice.
         """
         if self._cm_arrays is not None:
             return
         from rag_on_edge_tpu.ops import pallas_ivf
 
         index = self._src_index
+        index._ensure_kernel_state()
         blk = index.PAD_BLOCK
         offs_p = np.asarray(index._arrays["offsets"]).astype(np.int64)  # padded starts
         sizes = np.asarray(index._arrays["sizes"])
-        vec_p = np.asarray(index._arrays["vectors"], dtype=np.float32)  # [Npad, D]
-        reorder_p = np.asarray(index._arrays["reorder"])
-        n_padded = vec_p.shape[0]
-        bounds = _partition_clusters(
-            np.concatenate([offs_p, [n_padded]]), self.n_shards
-        )
-
+        offs_u = index._offsets_np.astype(np.int64)  # [nlist+1] unpadded
+        n_padded = index.n_padded
         S = self.n_shards
+        bounds = _partition_clusters(
+            np.concatenate([offs_p, [n_padded]]), S
+        )
         row_bounds = [
-            (int(offs_p[lo]), int(offs_p[hi]) if hi < self.nlist else n_padded)
+            (int(offs_p[lo]) if lo < self.nlist else n_padded,
+             int(offs_p[hi]) if hi < self.nlist else n_padded)
             for lo, hi in bounds
         ]
         rows_max = max(max(r1 - r0 for r0, r1 in row_bounds), blk)
         rows_max = -(-rows_max // blk) * blk
         nblocks_max = rows_max // blk
+        rows_c_max = max(
+            max(int(offs_u[hi] - offs_u[lo]) for lo, hi in bounds), 1
+        )
+        mesh, axis = self.mesh, self.axis
+        src_vt = index._arrays["vectors_t"]  # [nblocks_g(+pad), d', blk] device
+        d_aug = src_vt.shape[1]
 
-        int8 = self.dtype == "int8"
-        # int8 slabs: L2 rides a bias column at search time (the augmented
-        # norms row cannot live in int8) — see IVFIndex._ensure_kernel_state.
-        d_aug = self.dim + (1 if self.metric == "l2" and not int8 else 0)
-        # Block-tiled per-shard slabs (contiguous per-grid-step fetches —
-        # see cluster_major_scan's vectors_t contract).
-        vecs_t = np.zeros((S, nblocks_max, d_aug, blk), dtype=np.float32)
-        vecs = np.zeros((S, rows_max, self.dim), dtype=np.float32)
-        reorder = np.full((S, rows_max), -1, dtype=np.int32)
-        bc = np.zeros((S, nblocks_max), dtype=np.int32)
-        bf = np.zeros((S, nblocks_max), dtype=np.int32)
-        bl = np.zeros((S, nblocks_max), dtype=np.int32)
-        rv = np.zeros((S, nblocks_max), dtype=np.int32)
-        cluster_shard = np.zeros(self.nlist, dtype=np.int32)
-        for s, ((lo, hi), (r0, r1)) in enumerate(zip(bounds, row_bounds)):
-            nloc = r1 - r0
-            local = vec_p[r0:r1]  # [nloc, D]
-            if self.metric == "l2" and not int8:
-                local = np.concatenate(
-                    [local, -0.5 * np.sum(local * local, axis=1, keepdims=True)],
-                    axis=1,
-                )
-            padded = np.zeros((-(-nloc // blk) * blk, d_aug), dtype=np.float32)
-            padded[:nloc] = local
-            tiled = padded.reshape(-1, blk, d_aug).transpose(0, 2, 1)
-            vecs_t[s, : tiled.shape[0]] = tiled
-            vecs[s, :nloc] = vec_p[r0:r1]
-            reorder[s, :nloc] = reorder_p[r0:r1]
-            cluster_shard[lo:hi] = s
+        def vt_slice(s):
+            (lo, hi), (r0, r1) = bounds[s], row_bounds[s]
+            b0, b1 = r0 // blk, r1 // blk
+            out = np.zeros((nblocks_max, d_aug, blk), src_vt.dtype)
+            out[: b1 - b0] = np.asarray(src_vt[b0:b1])
+            return out
+
+        def tables(s):
+            lo, hi = bounds[s]
+            r0 = row_bounds[s][0]
+            bc = np.full(nblocks_max, max(hi - 1, 0), np.int32)
+            bf = np.zeros(nblocks_max, np.int32)
+            bl = np.zeros(nblocks_max, np.int32)
+            rv = np.zeros(nblocks_max, np.int32)
             if hi > lo:
                 bcl, bfl, bll, rvl, _ = pallas_ivf.build_block_tables(
                     offs_p[lo:hi] - r0, sizes[lo:hi], blk
                 )
                 nb = len(bcl)
-                bc[s, :nb] = bcl + lo  # local tables, GLOBAL cluster ids
-                bf[s, :nb] = bfl
-                bl[s, :nb] = bll
-                rv[s, :nb] = rvl
+                bc[:nb] = bcl + lo  # local tables, GLOBAL cluster ids
+                bf[:nb], bl[:nb], rv[:nb] = bfl, bll, rvl
                 # Trailing dummy blocks: attached to the last owned cluster
                 # with first=last=0 and no valid rows — pure no-ops.
-                bc[s, nb:] = hi - 1
+            return bc, bf, bl, rv
 
-        sh = lambda *spec: NamedSharding(self.mesh, P(*spec))  # noqa: E731
-        if int8:
-            sb = max(float(np.abs(vecs_t).max()), 1e-12) / 127.0
-            self._cm_base_scale = sb
-            vecs_t_dev = jnp.asarray(
-                np.clip(np.round(vecs_t / sb), -127, 127).astype(np.int8)
-            )
-        else:
-            self._cm_base_scale = None
-            vecs_t_dev = jnp.asarray(
-                vecs_t, dtype=jnp.bfloat16 if self.dtype == "bf16" else jnp.float32
-            )
-        self._cm_arrays = {
-            "vectors_t": jax.device_put(vecs_t_dev, sh(self.axis, None, None)),
-            "vectors": jax.device_put(jnp.asarray(vecs), sh(self.axis, None, None)),
-            "reorder": jax.device_put(jnp.asarray(reorder), sh(self.axis, None)),
-            "bc": jax.device_put(jnp.asarray(bc), sh(self.axis, None)),
-            "bf": jax.device_put(jnp.asarray(bf), sh(self.axis, None)),
-            "bl": jax.device_put(jnp.asarray(bl), sh(self.axis, None)),
-            "rv": jax.device_put(jnp.asarray(rv), sh(self.axis, None)),
+        def compact(s, src, fill, dtype):
+            lo, hi = bounds[s]
+            u0, u1 = int(offs_u[lo]), int(offs_u[hi])
+            out = np.full((rows_c_max,) + src.shape[1:], fill, dtype)
+            out[: u1 - u0] = src[u0:u1]
+            return out
+
+        def offset_maps(s):
+            lo, hi = bounds[s]
+            r0, u0 = row_bounds[s][0], int(offs_u[lo])
+            po = np.zeros(self.nlist, np.int32)
+            co = np.zeros(self.nlist, np.int32)
+            po[lo:hi] = (offs_p[lo:hi] - r0).astype(np.int32)
+            co[lo:hi] = (offs_u[lo:hi] - u0).astype(np.int32)
+            return po, co
+
+        def norms_padded(s):
+            """fp32 norms by LOCAL PADDED row (the int8-L2 kernel bias)."""
+            lo, hi = bounds[s]
+            r0, u0 = row_bounds[s][0], int(offs_u[lo])
+            vc = index._vectors_np
+            out = np.zeros(rows_max, np.float32)
+            for c in range(lo, hi):
+                sz = int(sizes[c])
+                p0 = int(offs_p[c]) - r0
+                a0 = int(offs_u[c])
+                out[p0 : p0 + sz] = np.sum(
+                    vc[a0 : a0 + sz].astype(np.float32) ** 2, axis=1
+                )
+            return out
+
+        cluster_shard = np.zeros(self.nlist, dtype=np.int32)
+        for s, (lo, hi) in enumerate(bounds):
+            cluster_shard[lo:hi] = s
+
+        self._cm_base_scale = getattr(index, "_base_scale", None)
+        arrays = {
+            "vectors_t": _put_sharded(
+                mesh, axis, (S, nblocks_max, d_aug, blk), src_vt.dtype, vt_slice
+            ),
+            "vectors_c": _put_sharded(
+                mesh, axis, (S, rows_c_max, self.dim), np.float32,
+                lambda s: compact(s, index._vectors_np, 0, np.float32),
+            ),
+            "reorder_c": _put_sharded(
+                mesh, axis, (S, rows_c_max), np.int32,
+                lambda s: compact(s, index._reorder_np, -1, np.int32),
+            ),
+            "norms_c": _put_sharded(
+                mesh, axis, (S, rows_c_max), np.float32,
+                lambda s: np.sum(
+                    compact(s, index._vectors_np, 0, np.float32) ** 2, axis=1
+                ),
+            ),
+            "po": _put_sharded(mesh, axis, (S, self.nlist), np.int32,
+                               lambda s: offset_maps(s)[0]),
+            "co": _put_sharded(mesh, axis, (S, self.nlist), np.int32,
+                               lambda s: offset_maps(s)[1]),
             "cluster_shard": jnp.asarray(cluster_shard),
             "sizes": jnp.asarray(sizes),
-            "vector_norms": jax.device_put(
-                jnp.asarray(np.sum(vecs * vecs, axis=2)), sh(self.axis, None)
-            ),
         }
+        for name, fn in [("bc", 0), ("bf", 1), ("bl", 2), ("rv", 3)]:
+            arrays[name] = _put_sharded(
+                mesh, axis, (S, nblocks_max), np.int32,
+                lambda s, _i=fn: tables(s)[_i],
+            )
+        if self.dtype == "int8" and self.metric == "l2":
+            arrays["norms_pad"] = _put_sharded(
+                mesh, axis, (S, rows_max), np.float32, norms_padded
+            )
+        else:
+            arrays["norms_pad"] = _put_sharded(
+                mesh, axis, (S, 8), np.float32, lambda s: np.zeros(8, np.float32)
+            )
+        self._cm_arrays = arrays
 
     def _make_cluster_major_fn(self):
         from rag_on_edge_tpu.models.ivf import invert_probes
@@ -485,11 +581,15 @@ class ShardedIVFIndex:
         dtype = self.dtype
         get_scale = lambda: self._cm_base_scale  # noqa: E731 — set by _ensure_cluster_state
 
-        def shard_body(q, cents, c_norms, vecs_t, vecs, reorder, bc, bf, bl, rv,
-                       cluster_shard, sizes, v_norms, k, nprobe, qcap,
+        def shard_body(q, cents, c_norms, vecs_t, vecs_c, norms_c, reorder_c,
+                       po, co, bc, bf, bl, rv, norms_pad,
+                       cluster_shard, sizes, k, nprobe, qcap,
                        recover_qcap, recover_blocks, recover_passes):
-            vecs_t, vecs, reorder = vecs_t[0], vecs[0], reorder[0]
-            bc, bf, bl, rv, v_norms = bc[0], bf[0], bl[0], rv[0], v_norms[0]
+            vecs_t, vecs_c, norms_c, reorder_c = (
+                vecs_t[0], vecs_c[0], norms_c[0], reorder_c[0]
+            )
+            po, co = po[0], co[0]
+            bc, bf, bl, rv, norms_pad = bc[0], bf[0], bl[0], rv[0], norms_pad[0]
             kk = 2 * k
 
             # Replicated stages: coarse probing + MoE-style inversion.
@@ -516,7 +616,7 @@ class ShardedIVFIndex:
                 alpha = sq * jnp.float32(get_scale())
                 if metric == "l2":
                     alpha = 2.0 * alpha
-                    bias = (v_norms / alpha)[None, :]
+                    bias = (norms_pad / alpha)[None, :]
             else:
                 qrow = q
                 if metric == "l2":
@@ -606,18 +706,24 @@ class ShardedIVFIndex:
             best_v, sel = topk_ops.small_topk(gv, kk)
             best_r = jnp.take_along_axis(gr, sel, axis=1)
             # fp32 rescore of local candidates (binned kernel selection is
-            # approximate).
-            cand = vecs[jnp.clip(best_r, 0, vecs.shape[0] - 1)]
+            # approximate) against the COMPACT fp32 copy: padded local row
+            # -> owning cluster via the block table -> compact row via the
+            # per-cluster offset maps (po = padded starts, co = compact
+            # starts).  Garbage slots are clipped and masked by best_v.
+            blk_of = jnp.clip(best_r // blk, 0, bc.shape[0] - 1)
+            c_of = bc[blk_of]
+            crow = jnp.clip(co[c_of] + best_r - po[c_of], 0, vecs_c.shape[0] - 1)
+            cand = vecs_c[crow]
             scores = jnp.einsum(
                 "bcd,bd->bc", cand, q, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
             if metric == "l2":
-                scores = 2.0 * scores - v_norms[jnp.clip(best_r, 0, vecs.shape[0] - 1)]
+                scores = 2.0 * scores - norms_c[crow]
             scores = jnp.where(best_v > _NEG_INF, scores, _NEG_INF)
             best_v, sel2 = topk_ops.small_topk(scores, k)
-            best_r = jnp.take_along_axis(best_r, sel2, axis=1)
-            ids = jnp.where(best_v > _NEG_INF, reorder[jnp.clip(best_r, 0, vecs.shape[0] - 1)], -1)
+            crow = jnp.take_along_axis(crow, sel2, axis=1)
+            ids = jnp.where(best_v > _NEG_INF, reorder_c[crow], -1)
 
             out_v, out_i = _gather_merge(best_v, ids.astype(jnp.int32), k, axis)
             return out_v, out_i, ncand, spill[None]
@@ -627,16 +733,19 @@ class ShardedIVFIndex:
             P(None, None),  # centroids
             P(None) if self.coarse_metric == "l2" else P(),
             P(axis, None, None, None),  # vectors_t (block-tiled)
-            P(axis, None, None),  # vectors (rescore)
-            P(axis, None),  # reorder
+            P(axis, None, None),  # vectors_c (compact fp32 rescore)
+            P(axis, None),  # norms_c
+            P(axis, None),  # reorder_c
+            P(axis, None), P(axis, None),  # po, co offset maps
             P(axis, None), P(axis, None), P(axis, None), P(axis, None),  # tables
+            P(axis, None),  # norms_pad (int8-L2 kernel bias)
             P(None),  # cluster_shard
             P(None),  # sizes
-            P(axis, None),  # vector norms
         )
 
-        def fn(q, cents, c_norms, vecs_t, vecs, reorder, bc, bf, bl, rv,
-               cluster_shard, sizes, v_norms, k, nprobe, qcap,
+        def fn(q, cents, c_norms, vecs_t, vecs_c, norms_c, reorder_c,
+               po, co, bc, bf, bl, rv, norms_pad,
+               cluster_shard, sizes, k, nprobe, qcap,
                recover_qcap, recover_blocks, recover_passes):
             body = functools.partial(shard_body, k=k, nprobe=nprobe, qcap=qcap,
                                      recover_qcap=recover_qcap,
@@ -646,8 +755,8 @@ class ShardedIVFIndex:
                 body, mesh=self.mesh, in_specs=in_specs,
                 out_specs=(P(None, None), P(None, None), P(None), P(None)),
                 check_vma=False,
-            )(q, cents, c_norms, vecs_t, vecs, reorder, bc, bf, bl, rv,
-              cluster_shard, sizes, v_norms)
+            )(q, cents, c_norms, vecs_t, vecs_c, norms_c, reorder_c,
+              po, co, bc, bf, bl, rv, norms_pad, cluster_shard, sizes)
 
         return fn
 
@@ -746,19 +855,21 @@ class ShardedIVFIndex:
                     queries.shape[0], nprobe, rq)
             vals, ids, ncand, spill = self._search_cm_jit(
                 queries, self._centroids, c_norms,
-                a["vectors_t"], a["vectors"], a["reorder"],
-                a["bc"], a["bf"], a["bl"], a["rv"],
-                a["cluster_shard"], a["sizes"], a["vector_norms"],
+                a["vectors_t"], a["vectors_c"], a["norms_c"], a["reorder_c"],
+                a["po"], a["co"], a["bc"], a["bf"], a["bl"], a["rv"],
+                a["norms_pad"], a["cluster_shard"], a["sizes"],
                 k, nprobe, qcap or self._auto_qcap(queries.shape[0], nprobe),
                 rq, rb, rp,
             )
             self.last_spill = spill[0]
             return vals, ids, ncand
+        self._ensure_query_state()
+        qa = self._qm_arrays
         pc = probe_chunk or self._auto_probe_chunk(queries.shape[0])
-        v_norms = self._vector_norms if self.metric == "l2" else jnp.zeros(())
+        v_norms = qa.get("vector_norms") if self.metric == "l2" else jnp.zeros(())
         return self._search_jit(
-            queries, self._centroids, c_norms, self._vectors, v_norms,
-            self._offs_local, self._sizes_local, self._local_reorder,
+            queries, self._centroids, c_norms, qa["vectors"], v_norms,
+            qa["offs"], qa["sizes"], qa["reorder"],
             k, nprobe, pc,
         )
 

@@ -77,3 +77,20 @@ def test_executor_rejects_bad_inputs(small_data, index):
     ex.close()  # idempotent
     with pytest.raises(RuntimeError, match="closed"):
         ex.submit(queries[0])
+
+
+def test_executor_pipelined_integrity(small_data, index):
+    """Many batches in flight (pipelined dispatch) must not scramble or
+    corrupt per-request results — regression for buffer aliasing across
+    in-flight batches."""
+    base, queries = small_data
+    q = np.resize(queries, (512, queries.shape[1])).astype(np.float32)
+    q += np.linspace(0, 1, 512, dtype=np.float32)[:, None]  # distinct rows
+    direct_ids, _ = index.search(q, k=5, batch_size=32)
+    with BatchingExecutor(
+        lambda b: index.search_device(b, 5),
+        dim=base.shape[1], batch_size=32, max_delay_ms=50.0, inflight=8,
+    ) as ex:
+        futs = [ex.submit(q[i]) for i in range(512)]
+        got = np.stack([np.asarray(f.result(timeout=120)[1]) for f in futs])
+    np.testing.assert_array_equal(got, direct_ids)

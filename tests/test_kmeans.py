@@ -47,3 +47,31 @@ def test_default_nlist_guard():
     assert kmeans.default_nlist(10_000, 100) == 100
     assert kmeans.default_nlist(10_000, 5_000) == max(16, 10_000 // 100)
     assert kmeans.default_nlist(1_000_000) == 1024
+
+
+def test_kmeanspp_init_beats_random_sample_init(small_data):
+    """D²-sampled init should match or beat random-sample init on final
+    inertia at a fixed (small) Lloyd budget — the coarse-quantizer-quality
+    lever for the 10M recall ceiling."""
+    import numpy as np
+    from rag_on_edge_tpu.models.kmeans import assign_clusters, kmeans
+
+    base, _ = small_data
+
+    def inertia(cents, assign):
+        return float(np.sum((base - cents[assign]) ** 2))
+
+    c_pp, a_pp = kmeans(base, 16, seed=42, max_iter=3, init="kmeans++")
+    c_rs, a_rs = kmeans(base, 16, seed=42, max_iter=3, init="sample")
+    assert inertia(c_pp, a_pp) <= inertia(c_rs, a_rs) * 1.02
+
+
+def test_kmeanspp_deterministic(small_data):
+    from rag_on_edge_tpu.models.kmeans import kmeans
+
+    import numpy as np
+    base, _ = small_data
+    c1, a1 = kmeans(base, 16, seed=7, max_iter=2, init="kmeans++")
+    c2, a2 = kmeans(base, 16, seed=7, max_iter=2, init="kmeans++")
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_allclose(c1, c2)

@@ -232,3 +232,54 @@ def test_sharded_spill_recovery_multi_pass(small_data, mesh):
     assert recall_at_k(np.asarray(i), np.asarray(i_ref), 10) == 1.0
     np.testing.assert_allclose(np.sort(np.asarray(v_ref)), np.sort(np.asarray(v)),
                                rtol=1e-5)
+
+
+@pytest.mark.parametrize("metric,dtype", [("l2", "int8"), ("ip", "fp32")])
+def test_sharded_compact_store_matches_padded(small_data, mesh, metric, dtype):
+    """store='compact' sources shard the cluster-major path (VERDICT r1 #3):
+    kernel slabs sliced from the source index's own vectors_t, fp32
+    rescore through the compact offset maps — results must match the
+    padded-store sharded index exactly."""
+    base, queries = small_data
+    kw = dict(nlist=16, metric=metric, dtype=dtype, seed=42, max_iter=10)
+    padded = IVFIndex.build(base, store="padded", **kw)
+    compact = IVFIndex.build(base, store="compact", **kw)
+    sh_p = ShardedIVFIndex(padded, mesh)
+    sh_c = ShardedIVFIndex(compact, mesh)
+    ids_p, s_p, cand_p = sh_p.search(queries, k=10, nprobe=4, mode="cluster")
+    ids_c, s_c, cand_c = sh_c.search(queries, k=10, nprobe=4, mode="cluster")
+    np.testing.assert_array_equal(ids_p, ids_c)
+    np.testing.assert_allclose(s_p, s_c, rtol=1e-5)
+    assert cand_p == cand_c
+
+
+def test_sharded_compact_matches_single_chip(small_data, mesh):
+    """Sharded compact cluster-major vs the single-chip compact index."""
+    base, queries = small_data
+    single = IVFIndex.build(base, nlist=16, metric="l2", dtype="int8",
+                            store="compact", seed=42, max_iter=10)
+    sharded = ShardedIVFIndex(single, mesh)
+    ids_s, _, _ = single.search(queries, k=10, nprobe=4, mode="cluster")
+    ids_m, _, _ = sharded.search(queries, k=10, nprobe=4, mode="cluster")
+    assert recall_at_k(ids_m, ids_s, 10) >= 0.97
+
+
+def test_sharded_compact_spill_recovery(small_data, mesh):
+    """Recovery passes run against compact-store shards too."""
+    base, queries = small_data
+    single = IVFIndex.build(base, nlist=16, metric="l2", dtype="int8",
+                            store="compact", seed=42, max_iter=10)
+    sharded = ShardedIVFIndex(single, mesh)
+    import jax.numpy as jnp
+    q = jnp.asarray(queries)
+    sharded.search_device(q, k=10, nprobe=4, mode="cluster", qcap=2,
+                          recover=False)
+    nblocks_local = sharded._cm_arrays["vectors_t"].shape[1]
+    vals, ids, _ = sharded.search_device(
+        q, k=10, nprobe=4, mode="cluster", qcap=2, recover=True,
+        recover_qcap=queries.shape[0], recover_blocks=nblocks_local,
+        recover_passes=2,
+    )
+    assert int(np.asarray(sharded.last_spill)) == 0
+    gt = ground_truth(base, queries, 10, metric="l2", backend="numpy")
+    assert recall_at_k(np.asarray(ids), gt, 10) >= 0.9
