@@ -326,7 +326,10 @@ def _gemm_rate_kernel(q_ref, v_ref, o_ref, *, sel):
     # Per-step scalar twist defeats loop-invariant hoisting of the GEMM.
     q = q_ref[:]
     if q.dtype == jnp.int8:
-        qx = jnp.where((i % 2) == 0, q, -q)
+        # i-dependent row twist (defeats hoisting); i8 sub/rotate don't
+        # lower in Mosaic, but select does.
+        rows = jax.lax.broadcasted_iota(jnp.int32, q.shape, 0)
+        qx = jnp.where(rows == (i % q.shape[0]), jnp.int8(1), q)
         acc = jnp.int32
     else:
         qx = q * (1.0 + i).astype(q.dtype)
