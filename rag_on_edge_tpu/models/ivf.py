@@ -39,6 +39,7 @@ from rag_on_edge_tpu.models import kmeans as kmeans_mod
 from rag_on_edge_tpu.ops import distances, quantize, topk
 from rag_on_edge_tpu.ops import pallas_bruteforce as pallas_bf
 from rag_on_edge_tpu.ops import pallas_ivf
+from rag_on_edge_tpu.ops import pallas_ivf_dma
 
 __all__ = ["IVFIndex", "fine_scan", "invert_probes"]
 
@@ -499,7 +500,10 @@ class IVFIndex:
         bc, bf, bl, rv, lb = pallas_ivf.build_block_tables(
             np.asarray(self._arrays["offsets"]), np.asarray(self._arrays["sizes"]), blk
         )
-        padg = (-vec_t.shape[0]) % self.CM_GROUP
+        # Pad to a multiple of 8 (covers the grouped engine's CM_GROUP=4
+        # and the accum engine's group=8, which also needs >= 8 blocks for
+        # its DMA-ring warm-up).
+        padg = (-vec_t.shape[0]) % max(self.CM_GROUP, 8)
         if padg:
             vec_t = np.pad(vec_t, ((0, padg), (0, 0), (0, 0)))
             bc = np.pad(bc, (0, padg))
@@ -512,6 +516,10 @@ class IVFIndex:
         self._arrays["block_last"] = jnp.asarray(bl)
         self._arrays["rows_valid"] = jnp.asarray(rv)
         self._arrays["last_block"] = jnp.asarray(lb)
+        # Accum-engine eligibility: its packed key spends 4 bits on the
+        # block-in-cluster code, capping clusters at CODE_MAX blocks.
+        sizes = np.asarray(self._arrays["sizes"])
+        self._cm_max_nb = int(np.max(-(-sizes // blk))) if len(sizes) else 0
 
     def _cm_recover(self, arrays, qi, probes, todo, bias, k: int,
                     qcap2: int, cap_blocks: int, engine: str,
@@ -620,7 +628,7 @@ class IVFIndex:
         spill = jnp.sum(lossy).astype(jnp.int32)
 
         # STAGE 3 — score each cluster's slab against its routed queries.
-        if engine in ("pallas", "pallas_routed"):
+        if engine in ("pallas", "pallas_routed", "pallas_accum"):
             nblocks = arrays["vectors_t"].shape[0]
             alpha, bias = None, None
             if self.dtype == "int8":
@@ -665,13 +673,40 @@ class IVFIndex:
                 # Per-block routed queries: an extra gather, but it buys
                 # the grouped kernel fully regular index maps.
                 qb = qk[arrays["block_cluster"]]  # [nblocks, qcap, D']
-                pv, pr = pallas_ivf.cluster_major_scan_grouped(
-                    qb, arrays["vectors_t"],
-                    arrays["block_first"], arrays["block_last"],
-                    arrays["rows_valid"],
-                    k=kk, blk=self.PAD_BLOCK, group=self.CM_GROUP, bias=bias,
-                    bin_depth=bin_depth,
-                )
+                if engine == "pallas_accum":
+                    bias_rows = None
+                    if bias is not None:
+                        # Pre-shifted int bias rows: (round(norms/alpha)<<4)
+                        # - code(t), padded columns buried under a huge fill
+                        # so the kernel needs no rows_valid mask op.
+                        cmax = pallas_ivf_dma.CODE_MAX
+                        code = jnp.int32(cmax - 1) - (
+                            jnp.arange(nblocks, dtype=jnp.int32) % cmax)
+                        br = jnp.clip(
+                            jnp.round(bias), -(2.0**24), 2.0**24
+                        ).astype(jnp.int32)
+                        br = jax.lax.shift_left(br, 4) - code[:, None, None]
+                        lane = jnp.arange(self.PAD_BLOCK, dtype=jnp.int32)
+                        padc = lane[None, None, :] >= arrays["rows_valid"][
+                            :, None, None]
+                        bias_rows = jnp.where(padc, jnp.int32(1 << 28), br)
+                    pv, pr = pallas_ivf_dma.cluster_major_accum(
+                        qb, arrays["vectors_t"],
+                        arrays["block_first"], arrays["block_last"],
+                        arrays["rows_valid"],
+                        k=kk, blk=self.PAD_BLOCK, group=8,
+                        depth=4 if arrays["vectors_t"].dtype == jnp.float32
+                        else 8,
+                        bin2=bin_depth >= 2, bias_rows=bias_rows,
+                    )
+                else:
+                    pv, pr = pallas_ivf.cluster_major_scan_grouped(
+                        qb, arrays["vectors_t"],
+                        arrays["block_first"], arrays["block_last"],
+                        arrays["rows_valid"],
+                        k=kk, blk=self.PAD_BLOCK, group=self.CM_GROUP, bias=bias,
+                        bin_depth=bin_depth,
+                    )
             extra = None
             if recover_qcap and recover_blocks:
                 # One recovery pass per iteration; each re-invers only the
@@ -684,7 +719,11 @@ class IVFIndex:
                     pv2, pr2, slot2, cluster_inc, cluster_pos = self._cm_recover(
                         arrays, qi, probes, todo, bias,
                         k=kk, qcap2=recover_qcap, cap_blocks=recover_blocks,
-                        engine=engine, bin_depth=bin_depth,
+                        # The accum kernel is dense-walk only (its packed
+                        # block code assumes row_base == t*blk); the sparse
+                        # compacted recovery walk uses the grouped kernel.
+                        engine="pallas" if engine == "pallas_accum" else engine,
+                        bin_depth=bin_depth,
                     )
                     if alpha is not None:
                         pv2 = alpha * pv2
@@ -925,7 +964,9 @@ class IVFIndex:
         if self.store == "compact":
             if mode == "auto":
                 mode = "cluster"
-            if mode != "cluster" or engine not in ("pallas", "pallas_routed"):
+            if mode != "cluster" or engine not in (
+                "pallas", "pallas_routed", "pallas_accum"
+            ):
                 raise ValueError(
                     "store='compact' serves the cluster-major pallas engines "
                     "only (no padded fp32 copy on device for query-major/XLA "
@@ -938,9 +979,16 @@ class IVFIndex:
                 mode == "cluster" and engine != "xla"
             )
         if mode == "cluster":
-            pallas_engine = engine in ("pallas", "pallas_routed")
+            pallas_engine = engine in ("pallas", "pallas_routed", "pallas_accum")
             if pallas_engine:
                 self._ensure_kernel_state()
+            if engine == "pallas_accum" and self._cm_max_nb > pallas_ivf_dma.CODE_MAX:
+                raise ValueError(
+                    f"engine='pallas_accum' supports clusters up to "
+                    f"{pallas_ivf_dma.CODE_MAX} blocks of {self.PAD_BLOCK} rows; "
+                    f"this index has a {self._cm_max_nb}-block cluster — use "
+                    "engine='pallas' or a larger pad_block"
+                )
             if recover and not pallas_engine:
                 raise ValueError("recover requires a pallas cluster engine")
             if recover is None:

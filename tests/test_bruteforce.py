@@ -113,8 +113,8 @@ def test_rescore_restores_exact_recall(small_data, dtype, engine):
 
 
 def test_engine_auto_selection(small_data, rng):
-    """auto = xla for small N, pallas once the score matrix gets big."""
+    """auto = xla for small N, the accum kernel once the matrix gets big."""
     base, _ = small_data
     assert BruteForceIndex(base, dtype="fp32").engine == "xla"
     big = rng.uniform(0, 100, size=(100_000, 16)).astype(np.float32)
-    assert BruteForceIndex(big, dtype="fp32").engine == "pallas"
+    assert BruteForceIndex(big, dtype="fp32").engine == "accum"
