@@ -40,6 +40,7 @@ from rag_on_edge_tpu.ops import distances, quantize, topk
 from rag_on_edge_tpu.ops import pallas_bruteforce as pallas_bf
 from rag_on_edge_tpu.ops import pallas_ivf
 from rag_on_edge_tpu.ops import pallas_ivf_dma
+from rag_on_edge_tpu.ops import pallas_topk
 
 __all__ = ["IVFIndex", "fine_scan", "invert_probes"]
 
@@ -179,10 +180,16 @@ class IVFIndex:
 
     PAD_BLOCK_DEFAULT = 512  # cluster slabs padded to this row multiple
     CM_GROUP = 4  # blocks scored per grid step of the cluster-major kernel
-    # Coarse probing switches from XLA (GEMM + iterative top-nprobe, which
-    # materializes nprobe masked [B, nlist] copies) to the fused Pallas
-    # brute-force kernel once the centroid matrix is big enough to matter.
-    COARSE_FUSED_MIN_NLIST = 512
+    # Coarse probing tiers by nlist (measured, SIFT-1M B=8192 real chip):
+    # small nlist rides fp32 XLA GEMM + small_topk; the mid window uses a
+    # bf16 GEMM (one MXU pass vs fp32-HIGHEST's six; probe selection is a
+    # partition, not a ranking — a near-tie flip swaps similar-mass
+    # clusters, measured recall-neutral) which beat both the fp32 path
+    # (-3 ms) and the fused Pallas kernel (-6 ms, grid too small to
+    # amortize); the fused brute-force kernel takes over once the centroid
+    # matrix is big enough to tile well.
+    COARSE_BF16_MIN_NLIST = 512
+    COARSE_FUSED_MIN_NLIST = 8192
 
     def __init__(
         self,
@@ -315,6 +322,9 @@ class IVFIndex:
                     [ct, -0.5 * np.sum(ct * ct, axis=0, keepdims=True)], axis=0
                 )
             arrays["centroids_t"] = jnp.asarray(ct)
+        elif self.nlist >= self.COARSE_BF16_MIN_NLIST:
+            arrays["centroids_bf16"] = jnp.asarray(
+                self._centroids_np.astype(jnp.bfloat16))
         self._arrays = arrays
         if store == "compact":
             self._build_kernel_state(vec_padded)
@@ -330,7 +340,7 @@ class IVFIndex:
             self._search_cluster_major_impl,
             static_argnames=("k", "nprobe", "qcap", "engine", "rescore",
                              "recover_qcap", "recover_blocks", "recover_passes",
-                             "bin_depth", "rescore_k"),
+                             "bin_depth", "rescore_k", "cluster_k"),
         )
         self._stream_jit = jax.jit(
             lambda arrays, qq, k, nprobe, pc: jax.lax.map(
@@ -387,24 +397,35 @@ class IVFIndex:
     # ------------------------------------------------------------- search impl
 
     def _rescore_rows(self, arrays, queries, vals, rows, k):
-        """Exact fp32 re-ranking of candidate padded rows (tiny gather);
-        -inf (unfilled) slots stay -inf."""
+        """Exact fp32 re-ranking of candidate padded rows.
+
+        Gathers ride flat ``jnp.take`` — measured 2.3x faster on TPU than
+        2-D advanced indexing at this index count (the gather engine's
+        per-index fixed cost dominates, ~40 ns vs ~80 ns) — and candidate
+        norms are recomputed from the gathered rows (128 FLOPs) instead of
+        a second 164K-index gather (milliseconds)."""
+        b, kp = rows.shape
         if "vectors" in arrays:
             safe = jnp.clip(rows, 0, arrays["vectors"].shape[0] - 1)
-            cand = arrays["vectors"][safe]  # [B, k', D]
+            cand = jnp.take(
+                arrays["vectors"], safe.reshape(-1), axis=0
+            ).reshape(b, kp, -1)  # [B, k', D]
         else:
             # compact store: padded row → original id → unpadded fp32 row
             # (padding rows map to id -1 → clipped; masked by vals below).
             safe = jnp.clip(rows, 0, arrays["reorder"].shape[0] - 1)
-            orig = jnp.clip(arrays["reorder"][safe], 0)
-            cand = arrays["vectors_f32"][orig]  # [B, k', D]
+            orig = jnp.clip(jnp.take(arrays["reorder"], safe.reshape(-1), axis=0), 0)
+            cand = jnp.take(arrays["vectors_f32"], orig, axis=0).reshape(
+                b, kp, -1)  # [B, k', D]
         scores = jnp.einsum(
             "bcd,bd->bc", cand, queries.astype(jnp.float32),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
         if self.metric == "l2":
-            scores = 2.0 * scores - arrays["vector_norms"][safe]
+            # Recomputed ‖b‖² of the gathered candidates (padding rows are
+            # zero vectors → norm 0; they stay masked by vals below).
+            scores = 2.0 * scores - jnp.sum(cand * cand, axis=-1)
         scores = jnp.where(vals > _NEG_INF, scores, _NEG_INF)
         best_v, sel = topk.small_topk(scores, k)
         return best_v, jnp.take_along_axis(rows, sel, axis=1)
@@ -422,6 +443,15 @@ class IVFIndex:
                 qx = jnp.concatenate([qx, jnp.ones((qx.shape[0], 1), qx.dtype)], axis=1)
             _, probes = pallas_bf.fused_topk_matmul(qx, arrays["centroids_t"], nprobe)
             return probes
+        if "centroids_bf16" in arrays:
+            s = jax.lax.dot_general(
+                q.astype(jnp.bfloat16), arrays["centroids_bf16"],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if self.coarse_metric == "l2":
+                s = 2.0 * s - arrays["centroid_norms"][None, :]
+            return topk.small_topk(s, nprobe)[1]
         coarse = distances.score_matrix(
             q,
             arrays["centroids"],
@@ -597,7 +627,8 @@ class IVFIndex:
                                    recover_blocks: int = 0,
                                    recover_passes: int = 1,
                                    bin_depth: int = 2,
-                                   rescore_k: int = 0):
+                                   rescore_k: int = 0,
+                                   cluster_k: int = 0):
         """Cluster-major search (see class docstring).
 
         Returns (scores [B,k] f32, ids [B,k] i32, n_candidates [B] i32,
@@ -608,6 +639,13 @@ class IVFIndex:
         returned spill is then the residual after recovery.
         """
         kk = min(rescore_k or 2 * k, self.n) if rescore else k
+        # Per-cluster emit depth: a query's neighbors split across its
+        # nprobe probed clusters, so each cluster only needs to surrender
+        # its top few per query — the join pool (nprobe·ck wide) still
+        # contains the true top-kk with high probability, and the kernel's
+        # per-cluster extract cost scales with ck (measured: the extract is
+        # most of the accum kernel's per-block time at kk=20).
+        ck = min(cluster_k, kk) if cluster_k else kk
         q = queries.astype(jnp.float32)
         b = q.shape[0]
         nprobe = min(nprobe, self.nlist)
@@ -665,7 +703,7 @@ class IVFIndex:
                     qi, cqb, arrays["vectors_t"],
                     arrays["block_first"], arrays["block_last"],
                     arrays["rows_valid"],
-                    k=kk, blk=self.PAD_BLOCK, group=self.CM_GROUP, bias=bias,
+                    k=ck, blk=self.PAD_BLOCK, group=self.CM_GROUP, bias=bias,
                     bin_depth=bin_depth,
                 )
             else:
@@ -674,37 +712,46 @@ class IVFIndex:
                 # the grouped kernel fully regular index maps.
                 qb = qk[arrays["block_cluster"]]  # [nblocks, qcap, D']
                 if engine == "pallas_accum":
+                    # Planes emit: the kernel returns RAW packed bin planes
+                    # (no in-kernel top-k at all — chip-measured, the
+                    # extract emit burned the accum design's win at one
+                    # block per cluster); selection + row decode happen in
+                    # _cm_finish_planes over the joined pool.
                     bias_rows = None
                     if bias is not None:
-                        # Pre-shifted int bias rows: (round(norms/alpha)<<4)
-                        # - code(t), padded columns buried under a huge fill
-                        # so the kernel needs no rows_valid mask op.
+                        # Pre-shifted planes pack: (round(norms/alpha)<<8)
+                        # - ((code(t)<<4) | cid(col)); padding is handled
+                        # by the kernel's rows_valid mask (_KMIN sentinel).
                         cmax = pallas_ivf_dma.CODE_MAX
                         code = jnp.int32(cmax - 1) - (
                             jnp.arange(nblocks, dtype=jnp.int32) % cmax)
+                        cidc = jnp.arange(self.PAD_BLOCK, dtype=jnp.int32) >> 7
+                        pack = (jax.lax.shift_left(code, 4)[:, None]
+                                | cidc[None, :])  # [nblocks, blk]
+                        # |bias| < 2^21 keeps (bias<<8) in int32; SIFT-scale
+                        # norms/alpha ≈ 2^20 — extreme-norm rows clip and
+                        # rank pessimistically until the fp32 rescore.
                         br = jnp.clip(
-                            jnp.round(bias), -(2.0**24), 2.0**24
+                            jnp.round(bias), -(2.0**21), 2.0**21
                         ).astype(jnp.int32)
-                        br = jax.lax.shift_left(br, 4) - code[:, None, None]
-                        lane = jnp.arange(self.PAD_BLOCK, dtype=jnp.int32)
-                        padc = lane[None, None, :] >= arrays["rows_valid"][
-                            :, None, None]
-                        bias_rows = jnp.where(padc, jnp.int32(1 << 28), br)
-                    pv, pr = pallas_ivf_dma.cluster_major_accum(
+                        bias_rows = (jax.lax.shift_left(br, 8)
+                                     - pack[:, None, :])
+                    pp = pallas_ivf_dma.cluster_major_accum_planes(
                         qb, arrays["vectors_t"],
                         arrays["block_first"], arrays["block_last"],
                         arrays["rows_valid"],
-                        k=kk, blk=self.PAD_BLOCK, group=8,
+                        blk=self.PAD_BLOCK, group=8,
                         depth=4 if arrays["vectors_t"].dtype == jnp.float32
                         else 8,
                         bin2=bin_depth >= 2, bias_rows=bias_rows,
                     )
+                    pv = pr = None
                 else:
                     pv, pr = pallas_ivf.cluster_major_scan_grouped(
                         qb, arrays["vectors_t"],
                         arrays["block_first"], arrays["block_last"],
                         arrays["rows_valid"],
-                        k=kk, blk=self.PAD_BLOCK, group=self.CM_GROUP, bias=bias,
+                        k=ck, blk=self.PAD_BLOCK, group=self.CM_GROUP, bias=bias,
                         bin_depth=bin_depth,
                     )
             extra = None
@@ -718,7 +765,7 @@ class IVFIndex:
                 for _ in range(recover_passes):
                     pv2, pr2, slot2, cluster_inc, cluster_pos = self._cm_recover(
                         arrays, qi, probes, todo, bias,
-                        k=kk, qcap2=recover_qcap, cap_blocks=recover_blocks,
+                        k=ck, qcap2=recover_qcap, cap_blocks=recover_blocks,
                         # The accum kernel is dense-walk only (its packed
                         # block code assumes row_base == t*blk); the sparse
                         # compacted recovery walk uses the grouped kernel.
@@ -733,12 +780,22 @@ class IVFIndex:
                     ok2 = todo & placed  # todo already implies sizes > 0
                     row2 = cluster_pos[probes]
                     sl2 = jnp.clip(slot2, 0)
-                    ev.append(jnp.where(ok2[..., None], pv2[row2, sl2], _NEG_INF)
+                    flat2 = (row2 * pv2.shape[1] + sl2).reshape(-1)
+                    gv2 = jnp.take(pv2.reshape(-1, ck), flat2, axis=0
+                                   ).reshape(b, -1, ck)
+                    gr2 = jnp.take(pr2.reshape(-1, ck), flat2, axis=0
+                                   ).reshape(b, -1, ck)
+                    ev.append(jnp.where(ok2[..., None], gv2, _NEG_INF)
                               .reshape(b, -1))
-                    er.append(pr2[row2, sl2].reshape(b, -1))
+                    er.append(gr2.reshape(b, -1))
                     todo = todo & ~placed
                 extra = (jnp.concatenate(ev, axis=1), jnp.concatenate(er, axis=1))
                 spill = jnp.sum(todo).astype(jnp.int32)
+            if engine == "pallas_accum":
+                return self._cm_finish_planes(
+                    arrays, queries, probes, slot, pp, k, kk, rescore,
+                    n_candidates, spill, alpha, extra=extra,
+                )
             if alpha is not None:
                 pv = alpha * pv  # back to true-score units (−inf stays −inf)
             elif self.metric == "l2":
@@ -773,12 +830,12 @@ class IVFIndex:
                 scores = 2.0 * scores - norms[None, :]
             valid = (arange_s < size)[None, :] & (cq_c >= 0)[:, None]
             scores = jnp.where(valid, scores, _NEG_INF)
-            kc = min(kk, smax)
+            kc = min(ck, smax)
             v, idx = topk.iterative_topk(scores, kc)
             r = rows[idx]
-            if kc < kk:
-                v = jnp.pad(v, ((0, 0), (0, kk - kc)), constant_values=_NEG_INF)
-                r = jnp.pad(r, ((0, 0), (0, kk - kc)))
+            if kc < ck:
+                v = jnp.pad(v, ((0, 0), (0, ck - kc)), constant_values=_NEG_INF)
+                r = jnp.pad(r, ((0, 0), (0, ck - kc)))
             return None, (v, r)
 
         _, (pv, pr) = jax.lax.scan(
@@ -809,18 +866,101 @@ class IVFIndex:
         # or the join would read uninitialized memory.
         ok = (slot >= 0) & (arrays["sizes"][probes] > 0)
         sl = jnp.clip(slot, 0)
-        gv = jnp.where(ok[..., None], pv[rows, sl], _NEG_INF).reshape(b, -1)
-        gr = pr[rows, sl].reshape(b, -1)
+        # Flat-take join: one fused (row, slot) index per pair instead of a
+        # 2-D advanced-index gather (2.3x per-index cost on TPU).
+        qcap_pv, ck = pv.shape[1], pv.shape[2]
+        flat = (rows * qcap_pv + sl).reshape(-1)
+        gv = jnp.take(pv.reshape(-1, ck), flat, axis=0).reshape(b, -1, ck)
+        gr = jnp.take(pr.reshape(-1, ck), flat, axis=0).reshape(b, -1, ck)
+        gv = jnp.where(ok[..., None], gv, _NEG_INF).reshape(b, -1)
+        gr = gr.reshape(b, -1)
         if extra is not None:
             gv = jnp.concatenate([gv, extra[0]], axis=1)
             gr = jnp.concatenate([gr, extra[1]], axis=1)
-        best_v, sel = topk.small_topk(gv, kk)
+        best_v, sel = topk.small_topk(gv, min(kk, gv.shape[1]))
         best_r = jnp.take_along_axis(gr, sel, axis=1)
         if rescore:
             best_v, best_r = self._rescore_rows(arrays, queries, best_v, best_r, k)
         else:
             best_v, best_r = best_v[:, :k], best_r[:, :k]
-        ids = jnp.where(best_v > _NEG_INF, arrays["reorder"][best_r], -1)
+        ids = jnp.where(
+            best_v > _NEG_INF,
+            jnp.take(arrays["reorder"], best_r.reshape(-1), axis=0
+                     ).reshape(best_r.shape),
+            -1,
+        )
+        return best_v, ids.astype(jnp.int32), n_candidates.astype(jnp.int32), spill
+
+    def _cm_finish_planes(self, arrays, queries, probes, slot, pp, k, kk,
+                          rescore, n_candidates, spill, alpha, extra=None):
+        """STAGE 4 for the planes-emit accum engine: gather each query's
+        (cluster, slot) packed planes, top-kk the joined pool, decode rows
+        from the keys, then rescore/map like :meth:`_cm_finish`.
+
+        pp: [nblocks, qcap, W] packed i32 planes (W = bin planes · 128);
+        key = (score << 8) | (code << 4) | cid, _KMIN = invalid.  The pool
+        per (query, probe) is every per-bin top-``planes`` candidate — a
+        strict superset of any in-kernel top-k emit, selected here where
+        kk max-passes over [B, nprobe·W] cost microseconds."""
+        b = probes.shape[0]
+        blk = self.PAD_BLOCK
+        cmax = pallas_ivf_dma.CODE_MAX
+        kmin = jnp.int32(-(2**31) + 1)
+        qcap_pv, w = pp.shape[1], pp.shape[2]
+        tl = arrays["last_block"][probes]  # [b, P]
+        ok = (slot >= 0) & (arrays["sizes"][probes] > 0)
+        sl = jnp.clip(slot, 0)
+        flat = (tl * qcap_pv + sl).reshape(-1)
+        gp = jnp.take(pp.reshape(-1, w), flat, axis=0).reshape(b, -1, w)
+        gp = jnp.where(ok[..., None], gp, kmin)
+        pool = gp.shape[1] * w
+        # VMEM-resident selection: XLA's pass-per-max loop re-reads the
+        # [B, pool] matrix from HBM every pass (24.6 ms at [32K, 1024];
+        # the fused kernel reads it once).  Below ~8M pool entries the
+        # matrix fits cache-side traffic and XLA is cheaper (chip-measured
+        # crossover: B=2048 273K vs 214K QPS, B=8192 equal, B=32K
+        # 484K vs 378K).
+        if b * pool >= 8 << 20:
+            vals_p, sel = pallas_topk.fused_topk(
+                gp.reshape(b, pool), min(kk, pool))
+        else:
+            vals_p, sel = topk.small_topk(gp.reshape(b, pool), min(kk, pool))
+        valid = vals_p > kmin
+        # Row decode (see cluster_major_accum_planes docstring): the key's
+        # low byte carries (block-offset code, chunk id); the pool position
+        # carries (probe index, lane).
+        pi = sel // w
+        lane = (sel % w) & jnp.int32(127)
+        cid = vals_p & jnp.int32(cmax - 1)
+        codeb = jax.lax.shift_right_logical(vals_p, 4) & jnp.int32(cmax - 1)
+        tsel = jnp.take_along_axis(tl, pi, axis=1)
+        d = ((tsel & (cmax - 1)) - (jnp.int32(cmax - 1) - codeb)) & jnp.int32(
+            cmax - 1)
+        best_r = (tsel - d) * blk + cid * 128 + lane
+        if alpha is not None:
+            dots = jax.lax.shift_right_arithmetic(vals_p, 8)
+            best_v = alpha * dots.astype(jnp.float32)
+        else:
+            best_v = pallas_ivf_dma._key_to_f32(vals_p)
+            if self.metric == "l2":
+                best_v = 2.0 * best_v  # augmented scores are l2_score/2
+        best_v = jnp.where(valid, best_v, _NEG_INF)
+        best_r = jnp.where(valid, best_r, 0)
+        if extra is not None:
+            gv = jnp.concatenate([best_v, extra[0]], axis=1)
+            gr = jnp.concatenate([best_r, extra[1]], axis=1)
+            best_v, sel2 = topk.small_topk(gv, kk)
+            best_r = jnp.take_along_axis(gr, sel2, axis=1)
+        if rescore:
+            best_v, best_r = self._rescore_rows(arrays, queries, best_v, best_r, k)
+        else:
+            best_v, best_r = best_v[:, :k], best_r[:, :k]
+        ids = jnp.where(
+            best_v > _NEG_INF,
+            jnp.take(arrays["reorder"], best_r.reshape(-1), axis=0
+                     ).reshape(best_r.shape),
+            -1,
+        )
         return best_v, ids.astype(jnp.int32), n_candidates.astype(jnp.int32), spill
 
     # ------------------------------------------------------------------ API
@@ -846,6 +986,24 @@ class IVFIndex:
         mean_load = batch * min(nprobe, self.nlist) / self.nlist
         cap = int(-(-capacity_factor * mean_load // 128) * 128)
         return max(128, min(batch, 256, cap))
+
+    def _auto_cluster_k(self, k: int, nprobe: int, rescore: bool,
+                        rescore_k: int | None) -> int:
+        """Per-cluster emit depth: enough that the union of per-cluster
+        top-ck pools almost surely contains the true top-pool, at a
+        fraction of the in-kernel extract cost (which scales with ck).
+        A query's pool-of-kk candidates spread across its nprobe probed
+        clusters (~kk/nprobe each on average); 2x that plus margin covers
+        skewed splits, floored at 8 and never above the pool itself."""
+        kk = min(rescore_k or 2 * k, self.n) if rescore else k
+        # MEASURED (SIFT-1M np=4/8): a query's candidates do NOT split
+        # evenly across its probed clusters — the nearest cluster typically
+        # holds most of the top-kk, so truncating per-cluster emit depth
+        # below kk costs real recall (ck=kk/2 at np=4: 0.993→0.938;
+        # ck=8 at np=8: 0.79).  Default to the full pool depth; cluster_k
+        # stays available as an expert knob for distributions that do
+        # split (or recall-tolerant serving).
+        return kk
 
     def _auto_recover(self, batch: int, nprobe: int,
                       capacity_factor: float = 8.0) -> bool:
@@ -924,7 +1082,7 @@ class IVFIndex:
         probe_chunk: int | None = None,
         mode: str = "auto",
         qcap: int | None = None,
-        engine: str = "pallas",
+        engine: str = "auto",
         rescore: bool | None = None,
         recover: bool | None = None,
         recover_qcap: int | None = None,
@@ -932,11 +1090,17 @@ class IVFIndex:
         recover_passes: int | None = None,
         bin_depth: int = 2,
         rescore_k: int | None = None,
+        cluster_k: int | None = None,
     ):
         """On-device search → (scores [B,k], ids [B,k], n_candidates [B]).
 
         mode: "auto" | "query" | "cluster" fine-scan strategy.
-        engine: "pallas" (grouped kernel over a pre-gathered routed table)
+        engine: "auto" (pallas_accum where its layout limits allow — it
+            dominated the grouped kernel at every measured SIFT-1M point,
+            214-498K vs 170-449K QPS — else pallas)
+            | "pallas_accum" (DMA-ring + packed accumulation, raw-planes
+            emit, fused-join selection; clusters must span <= 16 blocks)
+            | "pallas" (grouped kernel over a pre-gathered routed table)
             | "pallas_routed" (in-kernel one-hot routing, no routed table
             in HBM) | "xla" — stage-3 implementation for cluster mode.
         rescore: fp32 re-ranking of 2k candidates.  Defaults on for the
@@ -959,13 +1123,19 @@ class IVFIndex:
             (observed on 10M-scale clusters — see RESULTS.md).
         rescore_k: fp32 rescore pool size (default 2k): candidates kept
             per query for the exact re-ranking.
+        cluster_k: per-cluster emit depth of the cluster-major kernels
+            (default: auto — see :meth:`_auto_cluster_k`).  A query's
+            neighbors split across nprobe probed clusters, so each cluster
+            only needs its top few per query; the in-kernel extract cost
+            scales with this.  Pass the full pool size to force exact
+            per-cluster top-kk (pre-cluster_k behavior).
         """
         b = queries.shape[0]
         if self.store == "compact":
             if mode == "auto":
                 mode = "cluster"
             if mode != "cluster" or engine not in (
-                "pallas", "pallas_routed", "pallas_accum"
+                "auto", "pallas", "pallas_routed", "pallas_accum"
             ):
                 raise ValueError(
                     "store='compact' serves the cluster-major pallas engines "
@@ -979,6 +1149,13 @@ class IVFIndex:
                 mode == "cluster" and engine != "xla"
             )
         if mode == "cluster":
+            if engine == "auto":
+                self._ensure_kernel_state()
+                eligible = (
+                    self._cm_max_nb <= pallas_ivf_dma.CODE_MAX
+                    and self.PAD_BLOCK <= 128 * pallas_ivf_dma.CODE_MAX
+                )
+                engine = "pallas_accum" if eligible else "pallas"
             pallas_engine = engine in ("pallas", "pallas_routed", "pallas_accum")
             if pallas_engine:
                 self._ensure_kernel_state()
@@ -988,6 +1165,12 @@ class IVFIndex:
                     f"{pallas_ivf_dma.CODE_MAX} blocks of {self.PAD_BLOCK} rows; "
                     f"this index has a {self._cm_max_nb}-block cluster — use "
                     "engine='pallas' or a larger pad_block"
+                )
+            if engine == "pallas_accum" and self.PAD_BLOCK > 128 * pallas_ivf_dma.CODE_MAX:
+                raise ValueError(
+                    f"engine='pallas_accum' (planes emit) needs pad_block <= "
+                    f"{128 * pallas_ivf_dma.CODE_MAX} (4-bit chunk id); "
+                    f"got {self.PAD_BLOCK}"
                 )
             if recover and not pallas_engine:
                 raise ValueError("recover requires a pallas cluster engine")
@@ -1001,10 +1184,12 @@ class IVFIndex:
                 rb = min(recover_blocks or max(1, nblocks // 4), nblocks)
                 rb = -(-rb // self.CM_GROUP) * self.CM_GROUP
                 rp = recover_passes or self._auto_recover_passes(b, nprobe, rq)
+            if cluster_k is None:
+                cluster_k = self._auto_cluster_k(k, nprobe, rescore, rescore_k)
             vals, ids, ncand, spill = self._search_cm_jit(
                 self._arrays, queries, k, nprobe,
                 qcap or self._auto_qcap(b, nprobe), engine, rescore, rq, rb, rp,
-                bin_depth, rescore_k or 0,
+                bin_depth, rescore_k or 0, cluster_k,
             )
             self.last_spill = spill
             return vals, ids, ncand

@@ -45,7 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rag_on_edge_tpu.ops.pallas_bruteforce import _extract_topk
 
-__all__ = ["cluster_major_accum", "CODE_MAX"]
+__all__ = ["cluster_major_accum", "cluster_major_accum_planes", "CODE_MAX"]
 
 CODE_MAX = 16  # blocks-per-cluster cap (4 low bits of the packed key)
 _KMIN = -(2**31) + 1
@@ -85,18 +85,43 @@ def _binned_packed_top(acc_ref, qcap, blk, depth):
     return out
 
 
+def _plane_max(acc_ref, blk, depth):
+    """Per-128-lane-bin top-``depth`` of the packed accumulator, WITHOUT
+    column recovery: with the chunk id packed into each key's low bits
+    (planes mode), keys are distinct across chunks at a given bin, so the
+    mask-out after each plane hits exactly the winning chunk and the
+    column decodes later from the key itself.  ~(depth·w) elementwise ops
+    vs the ~3x of :func:`_binned_packed_top`'s id tracking."""
+    w = blk // 128
+    kmin = jnp.int32(_KMIN)
+    chunks = [acc_ref[:, c * 128 : (c + 1) * 128] for c in range(w)]
+    out = []
+    for p in range(depth):
+        m = chunks[0]
+        for c in chunks[1:]:
+            m = jnp.maximum(m, c)
+        out.append(m)
+        if p + 1 < depth:
+            chunks = [jnp.where(c == m, kmin, c) for c in chunks]
+    return out
+
+
 def _kernel(
     # scalar prefetch
     block_first, block_last, rows_valid,
     # refs
     *refs,
     k, blk, qcap, group, depth, nblocks, int_path, has_bias, mask_rows, bin2,
+    planes=False,
 ):
     refs = list(refs)
     qg_hbm = refs.pop(0)
     vec_hbm = refs.pop(0)
     bias_hbm = refs.pop(0) if has_bias else None
-    out_v_ref, out_i_ref = refs.pop(0), refs.pop(0)
+    if planes:
+        out_p_ref = refs.pop(0)
+    else:
+        out_v_ref, out_i_ref = refs.pop(0), refs.pop(0)
     ring_q = refs.pop(0)
     ring_v = refs.pop(0)
     ring_b = refs.pop(0) if has_bias else None
@@ -142,14 +167,28 @@ def _kernel(
         )  # [qcap, blk]
         # Ties resolve toward the EARLIER block: lower t -> higher code.
         code = jnp.int32(CODE_MAX - 1) - (t & (CODE_MAX - 1))
-        if int_path:
-            key = jax.lax.shift_left(scores, 4)
-            # Bias rows arrive pre-shifted (bias<<4 - code), so the pack is
-            # one subtract and the low bits still decode to `code`.
-            key = key - ring_b[slot] if has_bias else key | code
+        if planes:
+            # Planes mode packs the CHUNK id too — (code << 4) | cid in the
+            # low 8 bits — so the emit needs no column recovery and no
+            # in-kernel extract at all; the join decodes rows from the key.
+            cid = jax.lax.broadcasted_iota(jnp.int32, (qcap, blk), 1) >> 7
+            pack = jax.lax.shift_left(code, 4) | cid
+            if int_path:
+                key = jax.lax.shift_left(scores, 8)
+                # Bias rows arrive pre-shifted ((bias << 8) - pack), so the
+                # pack rides the same single subtract.
+                key = key - ring_b[slot] if has_bias else key | pack
+            else:
+                key = (_monotone_key(scores) & jnp.int32(~255)) | pack
         else:
-            key = _monotone_key(scores)
-            key = (key & jnp.int32(~(CODE_MAX - 1))) | code
+            if int_path:
+                key = jax.lax.shift_left(scores, 4)
+                # Bias rows arrive pre-shifted (bias<<4 - code), so the pack
+                # is one subtract and the low bits still decode to `code`.
+                key = key - ring_b[slot] if has_bias else key | code
+            else:
+                key = _monotone_key(scores)
+                key = (key & jnp.int32(~(CODE_MAX - 1))) | code
         if mask_rows:
             lane = jax.lax.broadcasted_iota(jnp.int32, (qcap, blk), 1)
             key = jnp.where(lane < rows_valid[t], key, kmin)
@@ -157,6 +196,15 @@ def _kernel(
 
         @pl.when(block_last[t] == 1)
         def _emit():
+            if planes:
+                # Emit the RAW per-bin planes — [qcap, depth·128] packed
+                # keys; top-kk selection and row decode happen at the XLA
+                # join, where k max-passes over the joined pool cost ~0 next
+                # to this kernel.  An entry equal to _KMIN is invalid (init
+                # value / rows_valid-masked padding).
+                out_p_ref[0, i] = jnp.concatenate(
+                    _plane_max(acc_ref, blk, 2 if bin2 else 1), axis=1)
+                return
             lane = jax.lax.broadcasted_iota(jnp.int32, (qcap, 128), 1)
             vs, rs = [], []
             for m, cid in _binned_packed_top(acc_ref, qcap, blk, 2 if bin2 else 1):
@@ -173,6 +221,12 @@ def _kernel(
             cand_v = jnp.concatenate(vs, axis=1)
             cand_r = jnp.concatenate(rs, axis=1)
             mv, mi = _extract_topk(cand_v, cand_r, k, kmin)
+            # NOTE on a measured dead end: extracting k/2 per plane
+            # ("plane-split") halves this pass count but only GUARANTEES
+            # the per-cluster top-k/2 — and the fp32 rescore needs the full
+            # int8-top-k per cluster (true neighbors routinely sit at
+            # int8-rank k/2..k; SIFT-1M np=4 recall@10 0.995→0.951).  The
+            # real escape from the extract cost is the planes emit.
             ninf = jnp.float32(float("-inf"))
             fv = mv.astype(jnp.float32) if int_path else _key_to_f32(mv)
             out_v_ref[0, i] = jnp.where(mv == kmin, ninf, fv)
@@ -297,3 +351,121 @@ def cluster_major_accum(
         interpret=interpret,
     )(block_first, block_last, rows_valid, *inputs)
     return pv.reshape(nblocks, qcap, k), pr.reshape(nblocks, qcap, k)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("blk", "group", "depth", "bin2", "interpret"),
+)
+def cluster_major_accum_planes(
+    qg_blocks: jax.Array,
+    vectors_t: jax.Array,
+    block_first: jax.Array,
+    block_last: jax.Array,
+    rows_valid: jax.Array,
+    blk: int = 2048,
+    group: int = 8,
+    depth: int = 8,
+    bin2: bool = True,
+    bias_rows: jax.Array | None = None,
+    interpret: bool | None = None,
+):
+    """Accum fine scan emitting RAW packed bin planes — no in-kernel top-k.
+
+    The extract-emit variant (:func:`cluster_major_accum`) still pays
+    ~k·(2·nbins) max-passes per cluster, which at one-block-per-cluster
+    shapes (SIFT-1M, blk=2048) is most of the kernel (chip-measured:
+    312K QPS ≈ the grouped engine's 323K at B=8192/np=4 — the selection
+    cost just moved from per-block merges to per-cluster extracts).  This
+    variant deletes in-kernel selection entirely: keys carry the CHUNK id
+    too — ``key = (score << 8) | (code << 4) | cid`` (ties resolve toward
+    earlier blocks/chunks; float keys cede 8 low mantissa bits) — so the
+    emit is just the per-bin top-``depth`` plane maxes, written as
+    [qcap, planes·128] packed i32.  Top-kk selection + row decode happen
+    at the XLA join over the gathered (query, probe) pool — a pool that
+    STRICTLY CONTAINS the extract emit's top-k, so recall can only match
+    or improve.
+
+    Requirements beyond :func:`cluster_major_accum`: ``blk ≤ 2048`` (4-bit
+    chunk id), int dots |q·b| < 2**23 - 1 after the 8-bit shift (true for
+    any D ≤ 512 int8 data), and bias_rows pre-shifted by 8 with the full
+    pack subtracted (see the model's builder).  The rows_valid mask is
+    ALWAYS applied (an entry == _KMIN is invalid; bias fill tricks cannot
+    mark validity in the raw planes).
+
+    Returns pp [nblocks, qcap, planes·128] i32 packed keys; only each
+    cluster's ``last_block`` rows are defined.  Decode: score = key >> 8
+    (arithmetic; int path — float path: ``_key_to_f32(key)`` within 8 low
+    mantissa bits), d = (t_last - ((t_last & 15) - (15 - ((key >> 4) & 15))
+    & 15)), row = d·blk + (key & 15)·128 + lane.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if group % depth:
+        raise ValueError(f"group={group} must be a multiple of depth={depth}")
+    if blk % 128 or blk > 128 * CODE_MAX:
+        raise ValueError(f"blk={blk} must be a multiple of 128 and <= "
+                         f"{128 * CODE_MAX} (4-bit chunk id)")
+    nblocks, qcap, d = qg_blocks.shape
+    if nblocks % group or nblocks < depth:
+        raise ValueError(
+            f"nblocks={nblocks} must be a multiple of group={group} and >= depth"
+        )
+    if vectors_t.shape != (nblocks, d, blk):
+        raise ValueError(
+            f"vectors_t must be [nblocks, {d}, {blk}], got {vectors_t.shape}"
+        )
+    int_path = vectors_t.dtype == jnp.int8
+    if int_path != (qg_blocks.dtype == jnp.int8):
+        raise ValueError("int8 path requires BOTH qg_blocks and vectors_t int8")
+    has_bias = bias_rows is not None
+    if has_bias and not int_path:
+        raise ValueError("bias_rows is the int8-L2 path")
+    nplanes = 2 if bin2 else 1
+    w = nplanes * 128
+    ngroups = nblocks // group
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(ngroups,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (3 if has_bias else 2),
+        out_specs=[
+            pl.BlockSpec((1, group, qcap, w), lambda g, bf, bl, rv: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((depth, qcap, d), qg_blocks.dtype),
+            pltpu.VMEM((depth, d, blk), vectors_t.dtype),
+        ]
+        + ([pltpu.VMEM((depth, 1, blk), jnp.int32)] if has_bias else [])
+        + [
+            pltpu.VMEM((qcap, blk), jnp.int32),
+            pltpu.SemaphoreType.DMA((depth,)),
+            pltpu.SemaphoreType.DMA((depth,)),
+        ]
+        + ([pltpu.SemaphoreType.DMA((depth,))] if has_bias else []),
+    )
+    inputs = [qg_blocks, vectors_t]
+    if has_bias:
+        inputs.append(bias_rows)
+    kernel = functools.partial(
+        _kernel, k=w, blk=blk, qcap=qcap, group=group, depth=depth,
+        nblocks=nblocks, int_path=int_path, has_bias=has_bias,
+        mask_rows=True, bin2=bin2, planes=True,
+    )
+    pp = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((ngroups, group, qcap, w), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nblocks * blk * d * qcap,
+            bytes_accessed=nblocks * (blk * d * vectors_t.dtype.itemsize
+                                      + qcap * d * qg_blocks.dtype.itemsize
+                                      + qcap * w * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(block_first, block_last, rows_valid, *inputs)[0]
+    return pp.reshape(nblocks, qcap, w)

@@ -591,6 +591,10 @@ class ShardedIVFIndex:
             po, co = po[0], co[0]
             bc, bf, bl, rv, norms_pad = bc[0], bf[0], bl[0], rv[0], norms_pad[0]
             kk = 2 * k
+            # Full-depth per-cluster emit (IVFIndex._auto_cluster_k): the
+            # nearest probed cluster typically holds most of a query's
+            # top-kk, so per-cluster truncation costs real recall.
+            ck = kk
 
             # Replicated stages: coarse probing + MoE-style inversion.
             coarse = distances.score_matrix(
@@ -628,7 +632,7 @@ class ShardedIVFIndex:
 
             # Sharded fine stage: each chip scans only its local blocks.
             pv, pr = pallas_ivf.cluster_major_scan(
-                qg, vecs_t, bc, bf, bl, rv, k=kk, blk=blk, bias=bias
+                qg, vecs_t, bc, bf, bl, rv, k=ck, blk=blk, bias=bias
             )
 
             b = q.shape[0]
@@ -672,7 +676,7 @@ class ShardedIVFIndex:
                         jnp.where(inc_list, bf[blocks_list], 0),
                         jnp.where(inc_list, bl[blocks_list], 0),
                         jnp.where(inc_list, rv[blocks_list], 0),
-                        k=kk, blk=blk, bias=bias2, row_base=blocks_list * blk,
+                        k=ck, blk=blk, bias=bias2, row_base=blocks_list * blk,
                     )
                     placed = (slot2 >= 0) & cluster_inc[probes]
                     ok2 = todo & placed & owned  # todo already implies sizes > 0
@@ -703,7 +707,7 @@ class ShardedIVFIndex:
             if extra is not None:
                 gv = jnp.concatenate([gv, extra[0]], axis=1)
                 gr = jnp.concatenate([gr, extra[1]], axis=1)
-            best_v, sel = topk_ops.small_topk(gv, kk)
+            best_v, sel = topk_ops.small_topk(gv, min(kk, gv.shape[1]))
             best_r = jnp.take_along_axis(gr, sel, axis=1)
             # fp32 rescore of local candidates (binned kernel selection is
             # approximate) against the COMPACT fp32 copy: padded local row

@@ -207,3 +207,64 @@ class TestIndexEngines:
         with pytest.raises(ValueError, match="pallas_accum"):
             idx.search_device(jnp.asarray(base[:8]), 5, 1, mode="cluster",
                               engine="pallas_accum")
+
+    def test_ivf_planes_multiblock_clusters(self):
+        """Multi-block clusters exercise the planes emit's block-offset
+        decode (code bits): pad_block=128 forces ~3-block clusters."""
+        rng = np.random.default_rng(5)
+        n, d, b, k = 20000, 64, 128, 10
+        base = rng.standard_normal((n, d)).astype(np.float32)
+        q = (base[rng.integers(0, n, b)]
+             + 0.2 * rng.standard_normal((b, d))).astype(np.float32)
+        idx = ret.IVFIndex.build(base, nlist=64, seed=42, metric="l2",
+                                 dtype="int8", pad_block=128)
+        idx._ensure_kernel_state()
+        assert idx._cm_max_nb >= 2
+        qd = jnp.asarray(q)
+        gt = ground_truth(base, q, k, metric="l2")
+        _, ids_ref, _ = idx.search_device(qd, k, 8, mode="cluster",
+                                          engine="pallas")
+        _, ids_acc, _ = idx.search_device(qd, k, 8, mode="cluster",
+                                          engine="pallas_accum")
+        # Both pools are bin-approximate and differ slightly; what must
+        # hold is equal recall within the probed set (a decode bug would
+        # collapse it) plus near-total id agreement.
+        r_ref = recall_at_k(np.asarray(ids_ref), gt, k)
+        r_acc = recall_at_k(np.asarray(ids_acc), gt, k)
+        assert r_acc >= r_ref - 0.005
+        agree = np.mean(np.asarray(ids_ref) == np.asarray(ids_acc))
+        assert agree >= 0.95
+
+    @pytest.mark.parametrize("dtype,metric", [("fp32", "ip"), ("fp32", "l2"),
+                                              ("bf16", "l2")])
+    def test_ivf_planes_float_paths(self, dtype, metric):
+        """Float planes keys (monotone i32, 8 low mantissa bits ceded)."""
+        rng = np.random.default_rng(6)
+        n, d, b, k = 12000, 64, 64, 10
+        base = rng.standard_normal((n, d)).astype(np.float32)
+        q = (base[rng.integers(0, n, b)]
+             + 0.2 * rng.standard_normal((b, d))).astype(np.float32)
+        idx = ret.IVFIndex.build(base, nlist=32, seed=42, metric=metric,
+                                 dtype=dtype, pad_block=512)
+        qd = jnp.asarray(q)
+        _, ids_ref, _ = idx.search_device(qd, k, 6, mode="cluster",
+                                          engine="pallas", rescore=True)
+        _, ids_acc, _ = idx.search_device(qd, k, 6, mode="cluster",
+                                          engine="pallas_accum", rescore=True)
+        agree = np.mean(np.asarray(ids_ref) == np.asarray(ids_acc))
+        assert agree >= 0.98
+
+    def test_engine_auto_picks_accum(self):
+        rng = np.random.default_rng(7)
+        base = rng.standard_normal((5000, 32)).astype(np.float32)
+        idx = ret.IVFIndex.build(base, nlist=16, seed=42, metric="ip",
+                                 dtype="int8", pad_block=512)
+        v, i, c = idx.search_device(jnp.asarray(base[:16]), 5, 4,
+                                    mode="cluster")  # engine="auto" default
+        assert i.shape == (16, 5)
+        # ineligible layout (one 24-block cluster) falls back to grouped
+        idx2 = ret.IVFIndex.build(base, nlist=1, seed=42, metric="ip",
+                                  dtype="int8", pad_block=128)
+        v2, i2, c2 = idx2.search_device(jnp.asarray(base[:16]), 5, 1,
+                                        mode="cluster")
+        assert i2.shape == (16, 5)

@@ -76,3 +76,25 @@ def test_iterative_topk_k_exceeds_n(rng):
     v, i = topk.iterative_topk(scores, 7)
     assert v.shape == (2, 7)
     assert np.isneginf(np.asarray(v)[:, 4:]).all()
+
+
+def test_fused_topk_matches_numpy(rng):
+    from rag_on_edge_tpu.ops.pallas_topk import fused_topk
+
+    for b, w, k in [(100, 256, 10), (512, 1024, 20), (7, 128, 5)]:
+        x = rng.integers(-(2**30), 2**30, size=(b, w)).astype(np.int32)
+        v, i = fused_topk(jnp.asarray(x), k)
+        ref = np.sort(x, axis=1)[:, ::-1][:, :k]
+        assert np.array_equal(np.asarray(v), ref)
+        assert np.array_equal(np.take_along_axis(x, np.asarray(i), 1), ref)
+        xf = x.astype(np.float32)
+        v2, i2 = fused_topk(jnp.asarray(xf), k)
+        assert np.array_equal(np.asarray(v2), ref.astype(np.float32))
+
+
+def test_fused_topk_tie_resolution(rng):
+    from rag_on_edge_tpu.ops.pallas_topk import fused_topk
+
+    x = np.zeros((8, 128), np.int32)  # all ties -> lowest positions win
+    _, i = fused_topk(jnp.asarray(x), 4)
+    assert np.array_equal(np.asarray(i), np.tile(np.arange(4), (8, 1)))
