@@ -1231,7 +1231,7 @@ class IVFIndex:
         nprobe: int = 16,
         batch_size: int | None = None,
         mode: str = "auto",
-        engine: str = "pallas",
+        engine: str = "auto",
         rescore: bool | None = None,
         recover: bool | None = None,
     ):
@@ -1258,7 +1258,7 @@ class IVFIndex:
         return ids_out, scores_out, total_cand / nq
 
     def compile(self, batch_size: int, k: int, nprobe: int, mode: str = "auto",
-                engine: str = "pallas") -> None:
+                engine: str = "auto") -> None:
         dummy = jnp.zeros((batch_size, self.dim), dtype=jnp.float32)
         jax.block_until_ready(self.search_device(dummy, k, nprobe, mode=mode, engine=engine))
 
