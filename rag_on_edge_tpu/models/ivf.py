@@ -104,6 +104,15 @@ def fine_scan(
     empty sentinel — used for probe padding and non-owned clusters on
     sharded meshes). Returns (vals [B, k] f32, rows [B, k] i32 — indices
     into ``vectors``; rows for -inf slots are meaningless).
+
+    SCALING LIMIT: the slab gather is padded to ``max_cluster_size`` —
+    every probe costs O(B · S_max · D) regardless of the probed cluster's
+    actual size, so ONE mega-cluster inflates every probe of every query.
+    Fine at 1M/nlist=1024 (balanced k-means cells); at larger scales or
+    skewed data prefer mode="cluster" (the cluster-major MoE dispatch
+    walks real blocks only and its cost tracks the probed MASS, not the
+    max).  This query-major path is kept for its low-latency small-batch
+    shape, where the padded gather is one fused program.
     """
     b = q.shape[0]
     n_rows = vectors.shape[0]

@@ -79,6 +79,61 @@ def test_executor_rejects_bad_inputs(small_data, index):
         ex.submit(queries[0])
 
 
+def test_executor_propagates_engine_errors(small_data, index):
+    """An fn that raises must fail every waiter in the batch with the
+    original exception, and the executor must stay usable afterwards."""
+    _, queries = small_data
+    calls = {"n": 0}
+
+    def flaky(q):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("engine exploded")
+        return index.search_device(q, k=3)
+
+    with BatchingExecutor(
+        flaky, dim=queries.shape[1], batch_size=4, max_delay_ms=1.0
+    ) as ex:
+        bad = [ex.submit(queries[i]) for i in range(4)]
+        for f in bad:
+            with pytest.raises(RuntimeError, match="engine exploded"):
+                f.result(timeout=30)
+        ok = ex.submit(queries[0]).result(timeout=30)
+        direct_ids, _ = index.search(queries[:1], k=3)
+        np.testing.assert_array_equal(ok[1], direct_ids[0])
+
+
+def test_executor_result_timeout(small_data, index):
+    """result(timeout) on a never-resolving handle raises TimeoutError
+    (concurrent.futures.TimeoutError semantics)."""
+    from concurrent.futures import TimeoutError as FutureTimeoutError
+    import time
+
+    _, queries = small_data
+    slow_release = threading.Event()
+
+    def slow(q):
+        slow_release.wait(10)
+        return index.search_device(q, k=3)
+
+    ex = BatchingExecutor(
+        slow, dim=queries.shape[1], batch_size=4, max_delay_ms=1.0
+    )
+    try:
+        f = ex.submit(queries[0])
+        t0 = time.perf_counter()
+        with pytest.raises(FutureTimeoutError):
+            f.result(timeout=0.2)
+        assert time.perf_counter() - t0 < 5.0
+        assert not f.done()
+        slow_release.set()
+        f.result(timeout=30)  # resolves once the engine finishes
+        assert f.done()
+    finally:
+        slow_release.set()
+        ex.close()
+
+
 def test_executor_pipelined_integrity(small_data, index):
     """Many batches in flight (pipelined dispatch) must not scramble or
     corrupt per-request results — regression for buffer aliasing across
