@@ -51,10 +51,19 @@ def build_or_load_index(
     )
     if os.path.exists(os.path.join(cache, "ivf_config.json")):
         return IVFIndex.load(cache, store=store)
+    # Per-iteration Lloyd checkpoint: a 10M build is ~25 device-bound
+    # minutes; a transient relay failure resumes at the last completed
+    # iteration instead of restarting.  The path encodes the full build
+    # config (it IS the cache name), so stale checkpoints can't leak
+    # across configs.
+    ckpt = cache + ".kmeans_ckpt.npz"
     index = IVFIndex.build(ds.base, nlist=nlist, metric=metric, dtype=dtype, seed=seed,
                            pad_block=pad_block, store=store, kmeans_init=kmeans_init,
-                           max_iter=25 if ds.base.shape[0] > 200_000 else 100)
+                           max_iter=25 if ds.base.shape[0] > 200_000 else 100,
+                           kmeans_checkpoint=ckpt)
     index.save(cache)
+    if os.path.exists(ckpt):
+        os.remove(ckpt)
     return index
 
 

@@ -373,13 +373,20 @@ class IVFIndex:
         seed: int = 42,
         max_iter: int = 100,
         kmeans_init: str = "kmeans++",
+        kmeans_checkpoint: str | None = None,
     ) -> "IVFIndex":
-        """Train the coarse quantizer and lay out clusters contiguously."""
+        """Train the coarse quantizer and lay out clusters contiguously.
+
+        kmeans_checkpoint: optional path for per-iteration Lloyd
+        checkpointing (crash/relay-failure resume on long builds) —
+        see :func:`rag_on_edge_tpu.models.kmeans.kmeans`.
+        """
         base = np.asarray(base, dtype=np.float32)
         n = base.shape[0]
         nlist = kmeans_mod.default_nlist(n, nlist)
         centroids, assign = kmeans_mod.kmeans(base, nlist, seed=seed,
-                                              max_iter=max_iter, init=kmeans_init)
+                                              max_iter=max_iter, init=kmeans_init,
+                                              checkpoint=kmeans_checkpoint)
 
         # Stable sort by cluster id → contiguous slabs; argsort indices are
         # exactly the reorder_to_original map (reordered row r holds original

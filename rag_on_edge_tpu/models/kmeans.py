@@ -11,6 +11,7 @@ deterministic like the reference (SURVEY §2.5: k-means seed 42).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -133,6 +134,7 @@ def kmeans(
     chunk: int = 131_072,
     init: str = "kmeans++",
     init_sample: int = 262_144,
+    checkpoint: str | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Train k-means; returns (centroids [nlist, D] f32, assignments [N] i32).
 
@@ -144,6 +146,16 @@ def kmeans(
     of distinct data points (the reference's sklearn n_init=1 posture,
     ``create_ivf_model.py:101-111``).  Both seeded + deterministic.
     Empty clusters keep their previous centroid.
+
+    checkpoint: optional path — save the centroids after every Lloyd
+    iteration (atomic write) and RESUME from the file if it exists.  A
+    10M-scale build is ~25 device-bound minutes on a relay-attached chip;
+    a transient backend failure then costs only the current iteration,
+    not the build (the §5.4 checkpoint/resume posture applied to the
+    offline compiler stage).  The caller owns invalidation: use a path
+    that encodes the build config (nlist/seed/data), as
+    ``build_or_load_index`` does.  A resumed run replays the identical
+    centroid trajectory (the checkpoint is the exact loop state).
     """
     x = jnp.asarray(x, dtype=jnp.float32)
     n = x.shape[0]
@@ -151,25 +163,48 @@ def kmeans(
         raise ValueError(f"nlist={nlist} > n_vectors={n}")
     if init not in ("kmeans++", "sample"):
         raise ValueError(f"unknown init {init!r} ('kmeans++' | 'sample')")
-    rng = np.random.default_rng(seed)
-    if init == "kmeans++":
-        ns = min(n, max(init_sample, 2 * nlist))
-        if ns < n:
-            idx = np.sort(rng.choice(n, size=ns, replace=False))
-            xs = x[jnp.asarray(idx)]
+    it0 = 0
+    centroids = None
+    if checkpoint is not None and os.path.exists(checkpoint):
+        ck = np.load(checkpoint)
+        if ck["centroids"].shape == (nlist, x.shape[1]) and int(ck["seed"]) == seed:
+            centroids = jnp.asarray(ck["centroids"])
+            it0 = int(ck["next_iter"])
+    if centroids is None:
+        rng = np.random.default_rng(seed)
+        if init == "kmeans++":
+            ns = min(n, max(init_sample, 2 * nlist))
+            if ns < n:
+                idx = np.sort(rng.choice(n, size=ns, replace=False))
+                xs = x[jnp.asarray(idx)]
+            else:
+                xs = x
+            centroids = _kmeanspp_select(
+                xs, jnp.int32(rng.integers(ns)), jax.random.PRNGKey(seed), nlist
+            )
         else:
-            xs = x
-        centroids = _kmeanspp_select(
-            xs, jnp.int32(rng.integers(ns)), jax.random.PRNGKey(seed), nlist
-        )
-    else:
-        init_idx = rng.choice(n, size=nlist, replace=False)
-        centroids = x[jnp.asarray(np.sort(init_idx))]
+            init_idx = rng.choice(n, size=nlist, replace=False)
+            centroids = x[jnp.asarray(np.sort(init_idx))]
 
     step = jax.jit(functools.partial(_lloyd_step, chunk=chunk))
     assign = None
-    for _ in range(max_iter):
+    for it in range(it0, max_iter):
         centroids, assign, shift = step(x, centroids)
+        if checkpoint is not None:
+            _save_checkpoint(checkpoint, np.asarray(centroids), it + 1, seed)
         if float(shift) < tol:
             break
+    if assign is None:
+        # Resumed past max_iter (crash after the last checkpoint but before
+        # the index was saved): one extra step recomputes the assignments.
+        centroids, assign, _ = step(x, centroids)
     return np.asarray(centroids), np.asarray(assign)
+
+
+def _save_checkpoint(path: str, centroids: np.ndarray, next_iter: int,
+                     seed: int) -> None:
+    tmp = f"{path}.tmp"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(tmp, "wb") as f:  # explicit handle: savez must not append .npz
+        np.savez(f, centroids=centroids, next_iter=next_iter, seed=seed)
+    os.replace(tmp, path)

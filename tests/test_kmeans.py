@@ -75,3 +75,40 @@ def test_kmeanspp_deterministic(small_data):
     c2, a2 = kmeans(base, 16, seed=7, max_iter=2, init="kmeans++")
     np.testing.assert_array_equal(a1, a2)
     np.testing.assert_allclose(c1, c2)
+
+
+def test_kmeans_checkpoint_resume_replays_trajectory(small_data, tmp_path):
+    """A run resumed from a mid-build checkpoint must land on the exact
+    centroids of an uninterrupted run (the checkpoint is the loop state)."""
+    base, _ = small_data
+    ck = str(tmp_path / "km.ckpt.npz")
+    ref_c, ref_a = kmeans.kmeans(base, 16, seed=42, max_iter=8, tol=0.0)
+    # "Crash" after 3 iterations: run with max_iter=3 writing the checkpoint.
+    kmeans.kmeans(base, 16, seed=42, max_iter=3, tol=0.0, checkpoint=ck)
+    import numpy as _np
+    assert int(_np.load(ck)["next_iter"]) == 3
+    # Resume to 8 total; must equal the uninterrupted trajectory exactly.
+    c2, a2 = kmeans.kmeans(base, 16, seed=42, max_iter=8, tol=0.0, checkpoint=ck)
+    np.testing.assert_array_equal(ref_c, c2)
+    np.testing.assert_array_equal(ref_a, a2)
+
+
+def test_kmeans_checkpoint_mismatch_is_ignored(small_data, tmp_path):
+    """A checkpoint from a different seed or shape must not be loaded."""
+    base, _ = small_data
+    ck = str(tmp_path / "km.ckpt.npz")
+    kmeans.kmeans(base, 16, seed=7, max_iter=2, tol=0.0, checkpoint=ck)
+    ref_c, _ = kmeans.kmeans(base, 16, seed=42, max_iter=2, tol=0.0)
+    c2, _ = kmeans.kmeans(base, 16, seed=42, max_iter=2, tol=0.0, checkpoint=ck)
+    np.testing.assert_array_equal(ref_c, c2)
+
+
+def test_kmeans_checkpoint_resume_past_max_iter(small_data, tmp_path):
+    """Crash AFTER the last Lloyd step but before consuming the result:
+    resume still returns valid assignments (one extra step)."""
+    base, _ = small_data
+    ck = str(tmp_path / "km.ckpt.npz")
+    kmeans.kmeans(base, 16, seed=42, max_iter=4, tol=0.0, checkpoint=ck)
+    c2, a2 = kmeans.kmeans(base, 16, seed=42, max_iter=4, tol=0.0, checkpoint=ck)
+    assert a2.shape == (base.shape[0],)
+    assert c2.shape == (16, base.shape[1])
