@@ -277,6 +277,16 @@ class IVFIndex:
         self._offsets_np = np.asarray(cluster_offsets, dtype=np.int32)
         self._reorder_np = np.asarray(reorder_to_original, dtype=np.int32)
 
+        # Spilled (redundant) assignment: stored rows exceed distinct base
+        # vectors when build(spill_eps=) duplicated boundary vectors into
+        # their second cluster.  Search paths dedup by original id in the
+        # rescore stage (see _rescore_rows), which is forced on for
+        # spilled indexes.
+        self.n_base = int(self._reorder_np.max()) + 1 if self.n else 0
+        self.spilled = self.n > self.n_base
+        self.config["n_vectors"] = self.n_base  # reference schema: base count
+        self.config["n_rows_stored"] = self.n
+
         # Device layout: every cluster slab padded to a multiple of
         # PAD_BLOCK rows so slab starts are block-aligned (static-shape
         # friendly for both the gather fine scan and the cluster-major
@@ -309,8 +319,10 @@ class IVFIndex:
             arrays["vectors"] = jnp.asarray(vec_padded)
         else:
             # Unpadded, ORIGINAL-order fp32 for rescoring only (gathered
-            # through the reorder map — no padding rows on device).
-            orig = np.empty_like(self._vectors_np)
+            # through the reorder map — no padding rows on device).  Sized
+            # by DISTINCT base vectors: spilled copies collapse back onto
+            # their one original row.
+            orig = np.empty((self.n_base, self.dim), dtype=np.float32)
             orig[self._reorder_np] = self._vectors_np
             arrays["vectors_f32"] = jnp.asarray(orig)
         if coarse_metric == "l2":
@@ -374,12 +386,23 @@ class IVFIndex:
         max_iter: int = 100,
         kmeans_init: str = "kmeans++",
         kmeans_checkpoint: str | None = None,
+        spill_eps: float = 0.0,
     ) -> "IVFIndex":
         """Train the coarse quantizer and lay out clusters contiguously.
 
         kmeans_checkpoint: optional path for per-iteration Lloyd
         checkpointing (crash/relay-failure resume on long builds) —
         see :func:`rag_on_edge_tpu.models.kmeans.kmeans`.
+
+        spill_eps: DB-side multi-probe (ScaNN-SOAR-style redundant
+        assignment).  A vector whose second-nearest centroid is nearly as
+        close as its nearest (``d2² ≤ (1+spill_eps)·d1²``) gets a SECOND
+        copy in that second cluster: the neighbors that fixed-nprobe
+        coarse probing misses are exactly the ones sitting just across a
+        Voronoi boundary from the probed cell.  Costs the spill fraction
+        in stored rows/scan mass; recall rises at UNCHANGED nprobe.
+        Duplicate ids are removed on-device in the rescore stage (forced
+        on for spilled indexes), so results never repeat an id.
         """
         base = np.asarray(base, dtype=np.float32)
         n = base.shape[0]
@@ -388,26 +411,40 @@ class IVFIndex:
                                               max_iter=max_iter, init=kmeans_init,
                                               checkpoint=kmeans_checkpoint)
 
-        # Stable sort by cluster id → contiguous slabs; argsort indices are
-        # exactly the reorder_to_original map (reordered row r holds original
-        # vector reorder_to_original[r]), as in create_ivf_model_reordered.py.
-        order = np.argsort(assign, kind="stable")
-        vectors_reordered = base[order]
-        counts = np.bincount(assign, minlength=nlist)
+        # Row inventory: every base vector once, plus (optionally) spilled
+        # second copies of boundary vectors.
+        ids_all = np.arange(n, dtype=np.int64)
+        cl_all = assign.astype(np.int64)
+        n_spilled = 0
+        if spill_eps > 0.0:
+            a1, a2, d1, d2 = kmeans_mod.assign_top2(base, centroids)
+            boundary = np.where(d2 <= (1.0 + float(spill_eps)) * d1)[0]
+            n_spilled = int(boundary.shape[0])
+            ids_all = np.concatenate([ids_all, boundary])
+            cl_all = np.concatenate([cl_all, a2[boundary].astype(np.int64)])
+
+        # Stable sort by cluster id → contiguous slabs; the permuted source
+        # ids are exactly the reorder_to_original map (reordered row r holds
+        # original vector reorder_to_original[r], possibly more than once
+        # when spilling), as in create_ivf_model_reordered.py.
+        order = np.argsort(cl_all, kind="stable")
+        vectors_reordered = base[ids_all[order]]
+        counts = np.bincount(cl_all, minlength=nlist)
         offsets = np.zeros(nlist + 1, dtype=np.int64)
         np.cumsum(counts, out=offsets[1:])
         return cls(
             centroids,
             vectors_reordered,
             offsets.astype(np.int32),
-            order.astype(np.int32),
+            ids_all[order].astype(np.int32),
             metric=metric,
             dtype=dtype,
             coarse_metric=coarse_metric,
             pad_block=pad_block,
             store=store,
             config={"seed": seed, "kmeans_max_iter": max_iter,
-                    "kmeans_init": kmeans_init},
+                    "kmeans_init": kmeans_init,
+                    "spill_eps": float(spill_eps), "n_spilled": n_spilled},
         )
 
     # ------------------------------------------------------------- search impl
@@ -421,6 +458,7 @@ class IVFIndex:
         norms are recomputed from the gathered rows (128 FLOPs) instead of
         a second 164K-index gather (milliseconds)."""
         b, kp = rows.shape
+        orig = None
         if "vectors" in arrays:
             safe = jnp.clip(rows, 0, arrays["vectors"].shape[0] - 1)
             cand = jnp.take(
@@ -443,6 +481,25 @@ class IVFIndex:
             # zero vectors → norm 0; they stay masked by vals below).
             scores = 2.0 * scores - jnp.sum(cand * cand, axis=-1)
         scores = jnp.where(vals > _NEG_INF, scores, _NEG_INF)
+        if self.spilled:
+            # Dedup by original id: a spilled vector can reach the pool
+            # through BOTH of its clusters.  Sort each row by (id, -score),
+            # kill every later copy of an id, then select — the best copy
+            # survives with its exact fp32 score.  Invalid slots get unique
+            # sentinel ids past n_base so they never mask a real candidate.
+            if orig is None:
+                safe_r = jnp.clip(rows, 0, arrays["reorder"].shape[0] - 1)
+                orig = jnp.take(arrays["reorder"], safe_r.reshape(-1), axis=0)
+            oid = orig.reshape(b, kp)
+            valid = scores > _NEG_INF
+            oid = jnp.where(valid, oid, self.n_base + jnp.arange(kp, dtype=jnp.int32))
+            oid_s, negs_s, scores_s, rows_s = jax.lax.sort(
+                (oid, -scores, scores, rows), dimension=1, num_keys=2
+            )
+            dup = jnp.concatenate(
+                [jnp.zeros((b, 1), bool), oid_s[:, 1:] == oid_s[:, :-1]], axis=1
+            )
+            scores, rows = jnp.where(dup, _NEG_INF, scores_s), rows_s
         best_v, sel = topk.small_topk(scores, k)
         return best_v, jnp.take_along_axis(rows, sel, axis=1)
 
@@ -1121,7 +1178,10 @@ class IVFIndex:
             in HBM) | "xla" — stage-3 implementation for cluster mode.
         rescore: fp32 re-ranking of 2k candidates.  Defaults on for the
             pallas cluster engines (their bin-max selection is
-            approximate) and for bf16 scans.
+            approximate), for bf16 scans, and for spilled indexes
+            (build(spill_eps=) — the rescore stage is where duplicate
+            copies of a vector are deduped; forcing rescore=False on a
+            spilled index may return repeated ids).
         recover: spilled-pair recovery pass (pallas engines) — a second,
             sparse kernel pass over only the clusters that dropped routing
             pairs, so a small fast qcap no longer costs recall on hot
@@ -1163,7 +1223,7 @@ class IVFIndex:
         if rescore is None:
             rescore = self.dtype in ("bf16", "int8") or (
                 mode == "cluster" and engine != "xla"
-            )
+            ) or self.spilled  # spilled indexes dedup in the rescore stage
         if mode == "cluster":
             if engine == "auto":
                 self._ensure_kernel_state()

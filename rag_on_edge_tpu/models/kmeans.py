@@ -201,6 +201,43 @@ def kmeans(
     return np.asarray(centroids), np.asarray(assign)
 
 
+def assign_top2(
+    x: np.ndarray | jax.Array,
+    centroids: np.ndarray | jax.Array,
+    chunk: int = 131_072,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Nearest-2 centroid assignment under squared L2 (chunked, on-device).
+
+    Returns (a1 [N] i32, a2 [N] i32, d1 [N] f32, d2 [N] f32): the nearest /
+    second-nearest centroid ids and their SQUARED distances.  The spilled-
+    assignment build (``IVFIndex.build(spill_eps=)``) uses d2/d1 to find
+    boundary vectors worth a second copy — the DB-side multi-probe lever
+    (cf. ScaNN's SOAR redundant assignment)."""
+    x = jnp.asarray(x, jnp.float32)
+    centroids = jnp.asarray(centroids, jnp.float32)
+    n = x.shape[0]
+
+    @jax.jit
+    def _chunk(xc, cents):
+        cn = jnp.sum(cents * cents, axis=1)
+        s = jax.lax.dot_general(
+            xc, cents, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        d = jnp.sum(xc * xc, axis=1, keepdims=True) - 2.0 * s + cn[None, :]
+        negd, idx = jax.lax.top_k(-d, 2)
+        return idx[:, 0], idx[:, 1], jnp.maximum(-negd[:, 0], 0.0), jnp.maximum(-negd[:, 1], 0.0)
+
+    outs = [[], [], [], []]
+    for lo in range(0, n, chunk):
+        parts = _chunk(x[lo:lo + chunk], centroids)
+        for acc, p in zip(outs, parts):
+            acc.append(np.asarray(p))
+    a1, a2, d1, d2 = (np.concatenate(o) for o in outs)
+    return a1.astype(np.int32), a2.astype(np.int32), d1, d2
+
+
 def _save_checkpoint(path: str, centroids: np.ndarray, next_iter: int,
                      seed: int) -> None:
     tmp = f"{path}.tmp"

@@ -329,6 +329,13 @@ class ShardedIVFIndex:
     """
 
     def __init__(self, index: IVFIndex, mesh: jax.sharding.Mesh):
+        if getattr(index, "spilled", False):
+            raise NotImplementedError(
+                "ShardedIVFIndex does not yet dedup spilled (spill_eps>0) "
+                "indexes across shards — a vector spilled into clusters on "
+                "two shards could surface twice in the merged top-k.  Build "
+                "the sharded source with spill_eps=0."
+            )
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.n_shards = mesh.devices.size

@@ -166,3 +166,95 @@ def test_error_paths_and_edge_cases(small_data, ivf_ip):
     assert (ids == -1).any()
     assert np.isneginf(scores[ids == -1]).all()
     assert (ids[:, 0] >= 0).all()
+
+
+# ------------------------------------------------------------- spilled build
+
+
+@pytest.fixture(scope="module")
+def spill_pair(small_data):
+    """Same data/config with and without spilled (redundant) assignment."""
+    base, _ = small_data
+    plain = IVFIndex.build(base, nlist=16, metric="l2", seed=42, max_iter=20)
+    spilled = IVFIndex.build(base, nlist=16, metric="l2", seed=42, max_iter=20,
+                             spill_eps=0.6)
+    return plain, spilled
+
+
+def test_spill_build_inventory(small_data, spill_pair):
+    base, _ = small_data
+    plain, spilled = spill_pair
+    assert not plain.spilled and plain.n_base == plain.n == len(base)
+    assert spilled.spilled and spilled.n_base == len(base)
+    assert spilled.n == len(base) + spilled.config["n_spilled"]
+    assert spilled.config["n_spilled"] > 0
+    assert spilled.config["n_vectors"] == len(base)  # schema: base count
+    # every stored row still maps to a real base vector
+    np.testing.assert_array_equal(
+        spilled._vectors_np, base[spilled._reorder_np])
+    # offsets cover all stored rows
+    assert spilled._offsets_np[-1] == spilled.n
+
+
+def test_spill_no_duplicate_ids(small_data, spill_pair):
+    _, queries = small_data
+    _, spilled = spill_pair
+    for mode in ("query", "cluster"):
+        ids, _, _ = spilled.search(queries, k=10, nprobe=4, mode=mode)
+        ids = np.asarray(ids)
+        for row in ids:
+            real = row[row >= 0]
+            assert len(set(real.tolist())) == len(real), (mode, row)
+
+
+def test_spill_lifts_recall_at_fixed_nprobe(small_data, spill_pair):
+    base, queries = small_data
+    plain, spilled = spill_pair
+    gt = ground_truth(base, queries, 10, metric="l2", backend="numpy")
+    r_plain = []
+    r_spill = []
+    # nprobe=1 is the regime where coarse misses exist on this corpus
+    # (plain 0.972 → spilled 1.000 measured; np=2 already saturates).
+    for mode in ("query", "cluster"):
+        ids_p, _, cand_p = plain.search(queries, k=10, nprobe=1, mode=mode)
+        ids_s, _, cand_s = spilled.search(queries, k=10, nprobe=1, mode=mode)
+        r_plain.append(recall_at_k(np.asarray(ids_p), gt, 10))
+        r_spill.append(recall_at_k(np.asarray(ids_s), gt, 10))
+        assert cand_s > cand_p  # spilled copies are scanned
+    # strictly better in at least one mode, never worse in any
+    assert all(s >= p for s, p in zip(r_spill, r_plain)), (r_spill, r_plain)
+    assert any(s > p for s, p in zip(r_spill, r_plain)), (r_spill, r_plain)
+
+
+def test_spill_full_probe_matches_exact(small_data, spill_pair):
+    """nprobe=nlist on a spilled index must equal exact search (dedup
+    returns each id once with its exact fp32 score)."""
+    base, queries = small_data
+    _, spilled = spill_pair
+    bf = BruteForceIndex(base, metric="l2", dtype="fp32", select="exact")
+    ids_bf, s_bf = bf.search(queries, k=10)
+    ids_s, s_s, _ = spilled.search(queries, k=10, nprobe=16)
+    np.testing.assert_allclose(s_s, s_bf, rtol=1e-5)
+    assert recall_at_k(np.asarray(ids_s), np.asarray(ids_bf), 10) >= 0.999
+
+
+def test_spill_save_load_roundtrip(tmp_path, small_data, spill_pair):
+    _, queries = small_data
+    _, spilled = spill_pair
+    d = str(tmp_path / "spilled_idx")
+    spilled.save(d)
+    loaded = IVFIndex.load(d)
+    assert loaded.spilled and loaded.n == spilled.n
+    assert loaded.n_base == spilled.n_base
+    ids_a, _, _ = spilled.search(queries, k=10, nprobe=4)
+    ids_b, _, _ = loaded.search(queries, k=10, nprobe=4)
+    np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
+
+
+def test_spill_sharded_guard(small_data, spill_pair):
+    import jax
+    from rag_on_edge_tpu.parallel import ShardedIVFIndex, make_mesh
+    _, spilled = spill_pair
+    mesh = make_mesh(len(jax.devices()))
+    with pytest.raises(NotImplementedError, match="spill"):
+        ShardedIVFIndex(spilled, mesh)
