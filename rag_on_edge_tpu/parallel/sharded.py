@@ -40,11 +40,35 @@ _NEG_INF = float("-inf")
 _INT32_MIN = jnp.iinfo(jnp.int32).min
 
 
-def _gather_merge(vals: jax.Array, ids: jax.Array, k: int, axis_name: str):
+def _dedup_by_id(vals: jax.Array, ids: jax.Array):
+    """Keep only the best-scoring copy of each id in every row (for
+    spilled indexes, where a vector stored in two clusters can reach a
+    candidate pool twice).  Sort each row by (id, -val), kill later
+    copies, return (vals, ids) sorted-by-id with duplicates at -inf.
+    Invalid slots (val == -inf) get unique sentinel ids so they never
+    collapse onto each other or a real candidate."""
+    b, m = vals.shape
+    valid = vals > _NEG_INF
+    key = jnp.where(valid, ids, (1 << 30) + jnp.arange(m, dtype=jnp.int32))
+    key_s, _, vals_s, ids_s = jax.lax.sort(
+        (key, -vals, vals, ids), dimension=1, num_keys=2
+    )
+    dup = jnp.concatenate(
+        [jnp.zeros((b, 1), bool), key_s[:, 1:] == key_s[:, :-1]], axis=1
+    )
+    return jnp.where(dup, _NEG_INF, vals_s), ids_s
+
+
+def _gather_merge(vals: jax.Array, ids: jax.Array, k: int, axis_name: str,
+                  dedup: bool = False):
     """All-gather per-shard top-k candidates and re-select the global top-k
-    (the cross-shard "join"): k per shard → k·S candidates → k."""
+    (the cross-shard "join"): k per shard → k·S candidates → k.  With
+    ``dedup`` (spilled indexes), a vector surfacing from two shards — its
+    two clusters landed on different shards — is counted once."""
     vg = jax.lax.all_gather(vals, axis_name, axis=1, tiled=True)  # [B, S*k]
     ig = jax.lax.all_gather(ids, axis_name, axis=1, tiled=True)
+    if dedup:
+        vg, ig = _dedup_by_id(vg, ig)
     out_v, sel = jax.lax.top_k(vg, k)
     return out_v, jnp.take_along_axis(ig, sel, axis=1)
 
@@ -329,13 +353,10 @@ class ShardedIVFIndex:
     """
 
     def __init__(self, index: IVFIndex, mesh: jax.sharding.Mesh):
-        if getattr(index, "spilled", False):
-            raise NotImplementedError(
-                "ShardedIVFIndex does not yet dedup spilled (spill_eps>0) "
-                "indexes across shards — a vector spilled into clusters on "
-                "two shards could surface twice in the merged top-k.  Build "
-                "the sharded source with spill_eps=0."
-            )
+        # Spilled (spill_eps>0) sources work sharded: duplicate copies are
+        # removed in the in-shard candidate pools AND at the cross-shard
+        # merge (a vector's two clusters can land on different shards).
+        self.spilled = bool(getattr(index, "spilled", False))
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.n_shards = mesh.devices.size
@@ -586,6 +607,7 @@ class ShardedIVFIndex:
         nlist = self.nlist
         blk = self._src_index.PAD_BLOCK
         dtype = self.dtype
+        spilled = self.spilled
         get_scale = lambda: self._cm_base_scale  # noqa: E731 — set by _ensure_cluster_state
 
         def shard_body(q, cents, c_norms, vecs_t, vecs_c, norms_c, reorder_c,
@@ -732,11 +754,18 @@ class ShardedIVFIndex:
             if metric == "l2":
                 scores = 2.0 * scores - norms_c[crow]
             scores = jnp.where(best_v > _NEG_INF, scores, _NEG_INF)
+            pool_ids = reorder_c[crow].astype(jnp.int32)
+            if spilled:
+                # In-shard dedup: a vector spilled into two clusters of the
+                # SAME shard reaches this pool twice (identical fp32 score).
+                scores, pool_ids = _dedup_by_id(scores, pool_ids)
             best_v, sel2 = topk_ops.small_topk(scores, k)
-            crow = jnp.take_along_axis(crow, sel2, axis=1)
-            ids = jnp.where(best_v > _NEG_INF, reorder_c[crow], -1)
+            ids = jnp.where(
+                best_v > _NEG_INF,
+                jnp.take_along_axis(pool_ids, sel2, axis=1), -1)
 
-            out_v, out_i = _gather_merge(best_v, ids.astype(jnp.int32), k, axis)
+            out_v, out_i = _gather_merge(
+                best_v, ids.astype(jnp.int32), k, axis, dedup=spilled)
             return out_v, out_i, ncand, spill[None]
 
         in_specs = (
@@ -777,6 +806,7 @@ class ShardedIVFIndex:
         coarse_metric = self.coarse_metric
         smax = self.max_cluster_size
         nlist = self.nlist
+        spilled = self.spilled
 
         def shard_body(q, cents, c_norms, vecs, v_norms, offs, szs, reorder, k, nprobe, probe_chunk):
             vecs, offs, szs, reorder = (
@@ -798,12 +828,16 @@ class ShardedIVFIndex:
             ncand = jax.lax.psum(jnp.sum(p_sizes, axis=1), axis)
 
             # STAGE 2 (sharded): scan only locally-owned probed clusters.
+            # Spilled indexes scan a deeper local pool: in-shard duplicate
+            # copies occupy slots until the merge dedups them.
+            local_k = k + k // 2 if spilled else k
             vals, rows = fine_scan(
                 q, vecs, v_norms, p_offs, p_sizes,
-                k=k, probe_chunk=probe_chunk, metric=metric, max_cluster_size=smax,
+                k=local_k, probe_chunk=probe_chunk, metric=metric,
+                max_cluster_size=smax,
             )
             ids = jnp.where(vals > _NEG_INF, reorder[rows], -1).astype(jnp.int32)
-            out_v, out_i = _gather_merge(vals, ids, k, axis)
+            out_v, out_i = _gather_merge(vals, ids, k, axis, dedup=spilled)
             return out_v, out_i, ncand.astype(jnp.int32)
 
         in_specs = (

@@ -11,7 +11,11 @@ import os
 # The image exports JAX_PLATFORMS=axon (the real TPU) and its
 # sitecustomize imports jax before pytest loads this conftest, so env vars
 # are already baked — override through jax.config instead.
-os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
+# NOTE: the env var alone does NOT protect subprocesses — sitecustomize
+# re-registers the axon platform at every interpreter start, clobbering
+# it.  Subprocess-spawning tests must pin jax.config.update("jax_platforms",
+# "cpu") inside the child (see tests/test_graft_entry.py).
+os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

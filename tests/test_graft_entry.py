@@ -42,10 +42,16 @@ def test_dryrun_multichip_self_provisions():
 
 
 def test_entry_compiles():
-    """entry() must return a jittable fn + example args (driver contract)."""
+    """entry() must return a jittable fn + example args (driver contract).
+
+    The subprocess pins the CPU backend via jax.config (NOT the env var:
+    the image's sitecustomize re-registers the axon platform at every
+    interpreter start, clobbering JAX_PLATFORMS — and axon backend init
+    hangs for minutes when the relay is down)."""
     code = (
         "import sys; sys.path.insert(0, sys.argv[1]); "
         "import jax; "
+        "jax.config.update('jax_platforms', 'cpu'); "
         "from __graft_entry__ import entry; "
         "fn, args = entry(); "
         "out = jax.jit(fn)(*args); "

@@ -251,10 +251,36 @@ def test_spill_save_load_roundtrip(tmp_path, small_data, spill_pair):
     np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
 
 
-def test_spill_sharded_guard(small_data, spill_pair):
+def test_spill_sharded_no_duplicates_and_matches_single_chip(small_data, spill_pair):
+    """Sharded search over a spilled index: duplicate copies must be
+    deduped both in-shard and across the merge, and results must match
+    the single-chip spilled search."""
     import jax
     from rag_on_edge_tpu.parallel import ShardedIVFIndex, make_mesh
+
+    _, queries = small_data
     _, spilled = spill_pair
     mesh = make_mesh(len(jax.devices()))
-    with pytest.raises(NotImplementedError, match="spill"):
-        ShardedIVFIndex(spilled, mesh)
+    sh = ShardedIVFIndex(spilled, mesh)
+    for mode in ("query", "cluster"):
+        ids_sh, _, _ = sh.search(queries, k=10, nprobe=4, mode=mode)
+        ids_sh = np.asarray(ids_sh)
+        for row in ids_sh:
+            real = row[row >= 0]
+            assert len(set(real.tolist())) == len(real), (mode, row)
+        ids_1c, _, _ = spilled.search(queries, k=10, nprobe=4, mode=mode)
+        assert recall_at_k(ids_sh, np.asarray(ids_1c), 10) >= 0.99, mode
+
+
+def test_spill_sharded_full_probe_matches_exact(small_data, spill_pair):
+    import jax
+    from rag_on_edge_tpu.parallel import ShardedIVFIndex, make_mesh
+
+    base, queries = small_data
+    _, spilled = spill_pair
+    bf = BruteForceIndex(base, metric="l2", dtype="fp32", select="exact")
+    ids_bf, s_bf = bf.search(queries, k=10)
+    sh = ShardedIVFIndex(spilled, make_mesh(len(jax.devices())))
+    ids_s, s_s, _ = sh.search(queries, k=10, nprobe=16)
+    np.testing.assert_allclose(np.asarray(s_s), s_bf, rtol=1e-5)
+    assert recall_at_k(np.asarray(ids_s), np.asarray(ids_bf), 10) >= 0.999
