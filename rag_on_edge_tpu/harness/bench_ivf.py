@@ -37,6 +37,7 @@ def build_or_load_index(
     ds, nlist: int | None, metric: str, dtype: str, seed: int = 42,
     cache_root: str | None = None, pad_block: int | None = None,
     store: str = "padded", kmeans_init: str = "kmeans++",
+    spill_eps: float = 0.0,
 ) -> IVFIndex:
     """Index persistence as compiled-artifact cache (regenerate only if
     missing), mirroring ``run_all_ivf.sh:72-94``.  This function OWNS the
@@ -45,9 +46,10 @@ def build_or_load_index(
     cache_root = cache_root or DEFAULT_DATA_ROOT
     pb_tag = f"_pb{pad_block}" if pad_block else ""
     init_tag = "_pp" if kmeans_init == "kmeans++" else ""
+    sp_tag = f"_sp{spill_eps:g}" if spill_eps > 0 else ""
     cache = os.path.join(
         cache_root, ds.name,
-        f"ivf_nlist{nlist}_{metric}_{dtype}_seed{seed}{pb_tag}{init_tag}",
+        f"ivf_nlist{nlist}_{metric}_{dtype}_seed{seed}{pb_tag}{init_tag}{sp_tag}",
     )
     if os.path.exists(os.path.join(cache, "ivf_config.json")):
         return IVFIndex.load(cache, store=store)
@@ -60,7 +62,7 @@ def build_or_load_index(
     index = IVFIndex.build(ds.base, nlist=nlist, metric=metric, dtype=dtype, seed=seed,
                            pad_block=pad_block, store=store, kmeans_init=kmeans_init,
                            max_iter=25 if ds.base.shape[0] > 200_000 else 100,
-                           kmeans_checkpoint=ckpt)
+                           kmeans_checkpoint=ckpt, spill_eps=spill_eps)
     index.save(cache)
     if os.path.exists(ckpt):
         os.remove(ckpt)
@@ -84,6 +86,7 @@ def run(
     recover: bool | None = None,
     store: str = "padded",
     vs_brute: bool | None = None,
+    spill_eps: float = 0.0,
 ) -> list[dict]:
     ds = load_dataset(dataset, gt_k=max(k, 10))
     if max_queries:
@@ -91,7 +94,8 @@ def run(
         ds.ground_truth_ip = ds.ground_truth_ip[:max_queries]
         ds.ground_truth_l2 = ds.ground_truth_l2[:max_queries]
     t0 = time.perf_counter()
-    index = build_or_load_index(ds, nlist, metric, dtype, pad_block=pad_block, store=store)
+    index = build_or_load_index(ds, nlist, metric, dtype, pad_block=pad_block, store=store,
+                                spill_eps=spill_eps)
     build_s = time.perf_counter() - t0
     gt = ds.gt(metric)
     n = ds.base.shape[0]

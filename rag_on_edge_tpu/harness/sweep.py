@@ -74,6 +74,7 @@ def sweep_ivf(
     pad_block: int | None = None,
     recover: bool | None = None,
     store: str = "padded",
+    spill_eps: float = 0.0,
 ) -> list[dict]:
     """nprobe sweep (the reference's {8,16,32,64} with top_k=10,
     ``run_all_ivf.sh:26-27``) plus the recall-target summary of the
@@ -83,6 +84,7 @@ def sweep_ivf(
         dataset=dataset, nprobes=tuple(nprobes), k=k, batch=batch,
         nlist=nlist, dtype=dtype, metric=metric, mode=mode, outdir=out,
         pad_block=pad_block, recover=recover, store=store,
+        spill_eps=spill_eps,
     )
     for line in recall_target_summary(rows):
         print(line)
@@ -113,6 +115,10 @@ def main(argv=None) -> None:
     pi.add_argument("--store", default="padded", choices=["padded", "compact"],
                     help="device storage: compact drops the padded fp32 copy "
                          "(cluster-major pallas only; required for sift10m)")
+    pi.add_argument("--spill-eps", type=float, default=0.0,
+                    help="redundant-assignment spill: duplicate boundary "
+                         "vectors (d2 <= (1+eps)*d1) into their 2nd cluster "
+                         "(recall lever at fixed nprobe)")
     pi.add_argument("--outdir", default="results")
     args = p.parse_args(argv)
     if args.cmd == "brute":
@@ -120,7 +126,7 @@ def main(argv=None) -> None:
     else:
         sweep_ivf(args.dataset, tuple(args.nprobe), args.k, args.batch, args.nlist,
                   args.dtype, args.metric, args.mode, args.outdir, args.pad_block,
-                  args.recover, args.store)
+                  args.recover, args.store, args.spill_eps)
 
 
 if __name__ == "__main__":
