@@ -251,6 +251,26 @@ def test_spill_save_load_roundtrip(tmp_path, small_data, spill_pair):
     np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
 
 
+def test_spill_int8_compact_cluster_major(small_data):
+    """The 10M flagship combination: int8 + store='compact' + spill —
+    dedup must work through the compact-store rescore path."""
+    base, queries = small_data
+    gt = ground_truth(base, queries, 10, metric="l2", backend="numpy")
+    idx = IVFIndex.build(base, nlist=16, metric="l2", dtype="int8",
+                         store="compact", seed=42, max_iter=20, spill_eps=0.6)
+    assert idx.spilled
+    ids, _, _ = idx.search(queries, k=10, nprobe=1, mode="cluster")
+    ids = np.asarray(ids)
+    for row in ids:
+        real = row[row >= 0]
+        assert len(set(real.tolist())) == len(real)
+    plain = IVFIndex.build(base, nlist=16, metric="l2", dtype="int8",
+                           store="compact", seed=42, max_iter=20)
+    ids_p, _, _ = plain.search(queries, k=10, nprobe=1, mode="cluster")
+    assert (recall_at_k(ids, gt, 10)
+            >= recall_at_k(np.asarray(ids_p), gt, 10))
+
+
 def test_spill_sharded_no_duplicates_and_matches_single_chip(small_data, spill_pair):
     """Sharded search over a spilled index: duplicate copies must be
     deduped both in-shard and across the merge, and results must match
