@@ -172,6 +172,7 @@ def run(
         row = {
             "dataset": dataset,
             "nlist": index.nlist,
+            "spill_eps": spill_eps,
             "nprobe": nprobe,
             "k": k,
             "batch": batch,
@@ -195,7 +196,8 @@ def run(
                 f"lat(ms) mean={lat.mean:.3f} p95={lat.p95:.3f}"
             )
         if outdir:
-            cfg = f"{dataset}_ivf{index.nlist}_np{nprobe}_b{batch}_k{k}_{dtype}"
+            sp_tag = f"_sp{spill_eps:g}" if spill_eps > 0 else ""
+            cfg = f"{dataset}_ivf{index.nlist}_np{nprobe}_b{batch}_k{k}_{dtype}{sp_tag}"
             d = os.path.join(outdir, cfg)
             metrics.write_results_txt(os.path.join(d, "results.txt"), ids, scores)
             metrics.write_metrics_txt(

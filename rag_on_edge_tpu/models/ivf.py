@@ -417,7 +417,15 @@ class IVFIndex:
         cl_all = assign.astype(np.int64)
         n_spilled = 0
         if spill_eps > 0.0:
+            # Primary AND spill assignments from the same snapshot (the
+            # FINAL centroids).  Lloyd's returned `assign` is against the
+            # penultimate centroids (assign-then-update); mixing it with
+            # final-centroid a2 targets puts some spilled copies in the
+            # vector's own cluster (pure waste) and leaves some boundary
+            # vectors with no copy in their true nearest cell.  a1 is also
+            # simply the better quantizer; a2 != a1 by construction.
             a1, a2, d1, d2 = kmeans_mod.assign_top2(base, centroids)
+            cl_all = a1.astype(np.int64)
             boundary = np.where(d2 <= (1.0 + float(spill_eps)) * d1)[0]
             n_spilled = int(boundary.shape[0])
             ids_all = np.concatenate([ids_all, boundary])
@@ -483,23 +491,14 @@ class IVFIndex:
         scores = jnp.where(vals > _NEG_INF, scores, _NEG_INF)
         if self.spilled:
             # Dedup by original id: a spilled vector can reach the pool
-            # through BOTH of its clusters.  Sort each row by (id, -score),
-            # kill every later copy of an id, then select — the best copy
-            # survives with its exact fp32 score.  Invalid slots get unique
-            # sentinel ids past n_base so they never mask a real candidate.
+            # through BOTH of its clusters (ops/topk.dedup_rows_by_id —
+            # the padded-row payload travels through the sort).
             if orig is None:
                 safe_r = jnp.clip(rows, 0, arrays["reorder"].shape[0] - 1)
                 orig = jnp.take(arrays["reorder"], safe_r.reshape(-1), axis=0)
-            oid = orig.reshape(b, kp)
-            valid = scores > _NEG_INF
-            oid = jnp.where(valid, oid, self.n_base + jnp.arange(kp, dtype=jnp.int32))
-            oid_s, negs_s, scores_s, rows_s = jax.lax.sort(
-                (oid, -scores, scores, rows), dimension=1, num_keys=2
+            scores, _, rows = topk.dedup_rows_by_id(
+                scores, orig.reshape(b, kp), payload=rows
             )
-            dup = jnp.concatenate(
-                [jnp.zeros((b, 1), bool), oid_s[:, 1:] == oid_s[:, :-1]], axis=1
-            )
-            scores, rows = jnp.where(dup, _NEG_INF, scores_s), rows_s
         best_v, sel = topk.small_topk(scores, k)
         return best_v, jnp.take_along_axis(rows, sel, axis=1)
 

@@ -164,12 +164,18 @@ def kmeans(
     if init not in ("kmeans++", "sample"):
         raise ValueError(f"unknown init {init!r} ('kmeans++' | 'sample')")
     it0 = 0
-    centroids = None
+    centroids = prev_centroids = None
+    done = False
     if checkpoint is not None and os.path.exists(checkpoint):
         ck = np.load(checkpoint)
-        if ck["centroids"].shape == (nlist, x.shape[1]) and int(ck["seed"]) == seed:
+        if ({"centroids", "prev_centroids", "next_iter", "seed", "done"}
+                <= set(ck.files)
+                and ck["centroids"].shape == (nlist, x.shape[1])
+                and int(ck["seed"]) == seed):
             centroids = jnp.asarray(ck["centroids"])
+            prev_centroids = jnp.asarray(ck["prev_centroids"])
             it0 = int(ck["next_iter"])
+            done = bool(ck["done"])
     if centroids is None:
         rng = np.random.default_rng(seed)
         if init == "kmeans++":
@@ -188,16 +194,24 @@ def kmeans(
 
     step = jax.jit(functools.partial(_lloyd_step, chunk=chunk))
     assign = None
+    if done:
+        it0 = max_iter  # checkpointed run had tol-converged: don't iterate
     for it in range(it0, max_iter):
+        prev_centroids = centroids
         centroids, assign, shift = step(x, centroids)
+        converged = float(shift) < tol
         if checkpoint is not None:
-            _save_checkpoint(checkpoint, np.asarray(centroids), it + 1, seed)
-        if float(shift) < tol:
+            _save_checkpoint(checkpoint, np.asarray(centroids), it + 1, seed,
+                             np.asarray(prev_centroids), converged)
+        if converged:
             break
     if assign is None:
-        # Resumed past max_iter (crash after the last checkpoint but before
-        # the index was saved): one extra step recomputes the assignments.
-        centroids, assign, _ = step(x, centroids)
+        # Resumed past the checkpointed run's last step (crash after its
+        # final checkpoint write but before the index was saved): REPLAY
+        # that last step from the stored previous centroids — (centroids,
+        # assign) come out exactly as the uninterrupted run produced them
+        # (Lloyd assigns against the input centroids, then updates).
+        centroids, assign, _ = step(x, prev_centroids)
     return np.asarray(centroids), np.asarray(assign)
 
 
@@ -239,9 +253,14 @@ def assign_top2(
 
 
 def _save_checkpoint(path: str, centroids: np.ndarray, next_iter: int,
-                     seed: int) -> None:
+                     seed: int, prev_centroids: np.ndarray,
+                     done: bool) -> None:
+    """prev_centroids lets a resume REPLAY the last step (recovering the
+    exact assignments the uninterrupted run returned); done marks a
+    tol-converged run so a resume doesn't iterate further."""
     tmp = f"{path}.tmp"
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(tmp, "wb") as f:  # explicit handle: savez must not append .npz
-        np.savez(f, centroids=centroids, next_iter=next_iter, seed=seed)
+        np.savez(f, centroids=centroids, next_iter=next_iter, seed=seed,
+                 prev_centroids=prev_centroids, done=done)
     os.replace(tmp, path)

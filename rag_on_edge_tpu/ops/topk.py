@@ -23,7 +23,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["topk", "two_stage_topk", "iterative_topk", "small_topk", "approx_topk", "merge_topk"]
+__all__ = ["topk", "two_stage_topk", "iterative_topk", "small_topk",
+           "approx_topk", "merge_topk", "dedup_rows_by_id"]
 
 
 def topk(scores: jax.Array, k: int, ids: jax.Array | None = None):
@@ -114,6 +115,40 @@ def approx_topk(scores: jax.Array, k: int, recall_target: float = 0.95):
     if jnp.issubdtype(scores.dtype, jnp.integer):
         scores = scores.astype(jnp.float32)
     return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
+
+
+def dedup_rows_by_id(
+    vals: jax.Array,
+    ids: jax.Array,
+    payload: jax.Array | None = None,
+    sentinel_base: int = 1 << 30,
+):
+    """Per-row dedup: keep only the best-scoring copy of each id.
+
+    For spilled (redundantly assigned) IVF indexes, where a vector stored
+    in two clusters can reach a candidate pool twice.  Sorts each row of
+    ``(ids, vals)`` by (id ascending, val descending) and masks every later
+    copy of an id to -inf; the best copy survives with its exact score.
+    Invalid slots (val == -inf) get unique sentinel ids past
+    ``sentinel_base`` so they never collapse onto each other or a real id
+    (callers' real ids must stay below it).  Returns id-sorted
+    ``(vals, ids[, payload])`` — selection order changes, so select AFTER
+    this (e.g. ``small_topk``)."""
+    b, m = vals.shape
+    valid = vals > -jnp.inf
+    key = jnp.where(
+        valid, ids, jnp.int32(sentinel_base) + jnp.arange(m, dtype=jnp.int32)
+    )
+    ops = (key, -vals, vals, ids) + (() if payload is None else (payload,))
+    sorted_ops = jax.lax.sort(ops, dimension=1, num_keys=2)
+    key_s, vals_s, ids_s = sorted_ops[0], sorted_ops[2], sorted_ops[3]
+    dup = jnp.concatenate(
+        [jnp.zeros((b, 1), bool), key_s[:, 1:] == key_s[:, :-1]], axis=1
+    )
+    vals_s = jnp.where(dup, -jnp.inf, vals_s)
+    if payload is None:
+        return vals_s, ids_s
+    return vals_s, ids_s, sorted_ops[4]
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -40,37 +40,23 @@ _NEG_INF = float("-inf")
 _INT32_MIN = jnp.iinfo(jnp.int32).min
 
 
-def _dedup_by_id(vals: jax.Array, ids: jax.Array):
-    """Keep only the best-scoring copy of each id in every row (for
-    spilled indexes, where a vector stored in two clusters can reach a
-    candidate pool twice).  Sort each row by (id, -val), kill later
-    copies, return (vals, ids) sorted-by-id with duplicates at -inf.
-    Invalid slots (val == -inf) get unique sentinel ids so they never
-    collapse onto each other or a real candidate."""
-    b, m = vals.shape
-    valid = vals > _NEG_INF
-    key = jnp.where(valid, ids, (1 << 30) + jnp.arange(m, dtype=jnp.int32))
-    key_s, _, vals_s, ids_s = jax.lax.sort(
-        (key, -vals, vals, ids), dimension=1, num_keys=2
-    )
-    dup = jnp.concatenate(
-        [jnp.zeros((b, 1), bool), key_s[:, 1:] == key_s[:, :-1]], axis=1
-    )
-    return jnp.where(dup, _NEG_INF, vals_s), ids_s
-
-
 def _gather_merge(vals: jax.Array, ids: jax.Array, k: int, axis_name: str,
                   dedup: bool = False):
     """All-gather per-shard top-k candidates and re-select the global top-k
     (the cross-shard "join"): k per shard → k·S candidates → k.  With
     ``dedup`` (spilled indexes), a vector surfacing from two shards — its
-    two clusters landed on different shards — is counted once."""
+    two clusters landed on different shards — is counted once; killed
+    duplicate slots must not leak their (real) ids into the output, so
+    ids are re-masked to -1 wherever the selected value is -inf."""
     vg = jax.lax.all_gather(vals, axis_name, axis=1, tiled=True)  # [B, S*k]
     ig = jax.lax.all_gather(ids, axis_name, axis=1, tiled=True)
     if dedup:
-        vg, ig = _dedup_by_id(vg, ig)
+        vg, ig = topk.dedup_rows_by_id(vg, ig)
     out_v, sel = jax.lax.top_k(vg, k)
-    return out_v, jnp.take_along_axis(ig, sel, axis=1)
+    out_i = jnp.take_along_axis(ig, sel, axis=1)
+    if dedup:
+        out_i = jnp.where(out_v > _NEG_INF, out_i, -1)
+    return out_v, out_i
 
 
 class ShardedBruteForceIndex:
@@ -758,7 +744,7 @@ class ShardedIVFIndex:
             if spilled:
                 # In-shard dedup: a vector spilled into two clusters of the
                 # SAME shard reaches this pool twice (identical fp32 score).
-                scores, pool_ids = _dedup_by_id(scores, pool_ids)
+                scores, pool_ids = topk.dedup_rows_by_id(scores, pool_ids)
             best_v, sel2 = topk_ops.small_topk(scores, k)
             ids = jnp.where(
                 best_v > _NEG_INF,
@@ -829,8 +815,11 @@ class ShardedIVFIndex:
 
             # STAGE 2 (sharded): scan only locally-owned probed clusters.
             # Spilled indexes scan a deeper local pool: in-shard duplicate
-            # copies occupy slots until the merge dedups them.
-            local_k = k + k // 2 if spilled else k
+            # copies occupy fine_scan slots until the merge dedups them,
+            # and every true neighbor has at most 2 copies — 2k slots
+            # guarantee the single-chip top-k survives (k+k//2 measurably
+            # lost neighbors at full probe under heavy spill).
+            local_k = 2 * k if spilled else k
             vals, rows = fine_scan(
                 q, vecs, v_norms, p_offs, p_sizes,
                 k=local_k, probe_chunk=probe_chunk, metric=metric,

@@ -304,3 +304,32 @@ def test_spill_sharded_full_probe_matches_exact(small_data, spill_pair):
     ids_s, s_s, _ = sh.search(queries, k=10, nprobe=16)
     np.testing.assert_allclose(np.asarray(s_s), s_bf, rtol=1e-5)
     assert recall_at_k(np.asarray(ids_s), np.asarray(ids_bf), 10) >= 0.999
+
+
+def test_spill_sharded_heavy_spill_regime(small_data):
+    """Adversarial regime (caught by review, missed by eps=0.6 tests):
+    EVERY vector duplicated (huge eps), full probe — in-shard duplicate
+    copies must not evict true neighbors from the local pool (needs 2k
+    local slots), and dedup-killed slots must not leak real ids with
+    -inf scores into the merged output (ids must be -1 there)."""
+    import jax
+    from rag_on_edge_tpu.parallel import ShardedIVFIndex, make_mesh
+
+    base, queries = small_data
+    spilled = IVFIndex.build(base, nlist=16, metric="l2", seed=42,
+                             max_iter=20, spill_eps=8.0)
+    assert spilled.config["n_spilled"] == len(base)  # everything spilled
+    bf = BruteForceIndex(base, metric="l2", dtype="fp32", select="exact")
+    ids_bf, s_bf = bf.search(queries, k=10)
+    sh = ShardedIVFIndex(spilled, make_mesh(len(jax.devices())))
+    ids, vals, _ = sh.search(queries, k=10, nprobe=16)
+    vals, ids = np.asarray(vals), np.asarray(ids)
+    np.testing.assert_allclose(vals, s_bf, rtol=1e-5)
+    np.testing.assert_array_equal(ids, np.asarray(ids_bf))
+    # a short row (fewer valid candidates than k) must pad with id -1:
+    i32, v32, _ = sh.search(queries, k=32, nprobe=1)
+    v32, i32 = np.asarray(v32), np.asarray(i32)
+    assert (i32[v32 == -np.inf] == -1).all()
+    for row in i32:
+        real = row[row >= 0]
+        assert len(set(real.tolist())) == len(real)

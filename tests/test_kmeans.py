@@ -105,10 +105,24 @@ def test_kmeans_checkpoint_mismatch_is_ignored(small_data, tmp_path):
 
 def test_kmeans_checkpoint_resume_past_max_iter(small_data, tmp_path):
     """Crash AFTER the last Lloyd step but before consuming the result:
-    resume still returns valid assignments (one extra step)."""
+    resume must return EXACTLY what the uninterrupted run returned (the
+    last step is replayed from the stored previous centroids — keeping
+    the extra step's centroid update would silently advance the
+    trajectory)."""
     base, _ = small_data
     ck = str(tmp_path / "km.ckpt.npz")
-    kmeans.kmeans(base, 16, seed=42, max_iter=4, tol=0.0, checkpoint=ck)
+    c1, a1 = kmeans.kmeans(base, 16, seed=42, max_iter=4, tol=0.0, checkpoint=ck)
     c2, a2 = kmeans.kmeans(base, 16, seed=42, max_iter=4, tol=0.0, checkpoint=ck)
-    assert a2.shape == (base.shape[0],)
-    assert c2.shape == (16, base.shape[1])
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(a1, a2)
+
+
+def test_kmeans_checkpoint_resume_after_convergence(small_data, tmp_path):
+    """A tol-converged checkpointed run must also resume to the identical
+    result (the done flag stops further iteration)."""
+    base, _ = small_data
+    ck = str(tmp_path / "km.ckpt.npz")
+    c1, a1 = kmeans.kmeans(base, 16, seed=42, max_iter=50, tol=1e-4, checkpoint=ck)
+    c2, a2 = kmeans.kmeans(base, 16, seed=42, max_iter=50, tol=1e-4, checkpoint=ck)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(a1, a2)
