@@ -363,9 +363,13 @@ class IVFIndex:
                              "recover_qcap", "recover_blocks", "recover_passes",
                              "bin_depth", "rescore_k", "cluster_k"),
         )
+        # Stream mode inherits the spilled-index rescore requirement (the
+        # rescore stage is where duplicate copies dedup).
+        stream_rescore = self.spilled
         self._stream_jit = jax.jit(
             lambda arrays, qq, k, nprobe, pc: jax.lax.map(
-                lambda q: self._search_impl(arrays, q, k, nprobe, pc), qq
+                lambda q: self._search_impl(arrays, q, k, nprobe, pc,
+                                            rescore=stream_rescore), qq
             ),
             static_argnames=("k", "nprobe", "pc"),
         )

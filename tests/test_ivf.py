@@ -333,3 +333,18 @@ def test_spill_sharded_heavy_spill_regime(small_data):
     for row in i32:
         real = row[row >= 0]
         assert len(set(real.tolist())) == len(real)
+
+
+def test_spill_stream_mode_no_duplicates(small_data):
+    """search_stream_device (query mode) on a spilled index must dedup
+    (the stream path bypasses search_device's rescore defaulting)."""
+    import jax.numpy as jnp
+    base, queries = small_data
+    idx = IVFIndex.build(base, nlist=16, metric="l2", seed=42, max_iter=20,
+                         spill_eps=8.0)
+    stream = jnp.asarray(np.stack([queries[:8], queries[8:16]]))  # [2, 8, D]
+    _, ids, _ = idx.search_stream_device(stream, k=10, nprobe=4)
+    ids = np.asarray(ids).reshape(-1, 10)
+    for row in ids:
+        real = row[row >= 0]
+        assert len(set(real.tolist())) == len(real)
