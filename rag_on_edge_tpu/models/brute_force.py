@@ -63,10 +63,16 @@ class BruteForceIndex:
         approximate by per-(column mod tile_n) bins: expected loss
         C(k,2)/tile_n per query (~0.2% at k=10), recoverable with
         ``rescore``.  "auto" picks accum once N ≥ 100K.
-    rescore : for quantized paths (int8/bf16), select 2k candidates in the
-        quantized domain and recompute their exact fp32 scores before the
-        final top-k — restores exact recall at the cost of keeping an fp32
-        copy of the base and a [B, 2k, D] gather per batch.
+    rescore : select 2k candidates in the engine's fast domain and
+        recompute their exact fp32 scores before the final top-k —
+        restores exact recall at the cost of keeping an fp32 copy of the
+        base and a [B, 2k, D] gather per batch.  Default (None): ON for
+        the bin-approximate accum engine (exactness is this class's
+        contract — the raw accum ranking loses ~C(k,2)/tile_n of true
+        top-k entries and truncates f32 scores to ~2^-18), OFF for the
+        exact engines; pass False explicitly for the raw accum numbers.
+        Applies to every dtype including fp32 (the approximation is the
+        engine's, not the dtype's).
     device : optional jax.Device to place the index on.
     """
 
@@ -77,7 +83,7 @@ class BruteForceIndex:
         dtype: str = "bf16",
         select: str = "auto",
         engine: str = "auto",
-        rescore: bool = False,
+        rescore: bool | None = None,
         device: jax.Device | None = None,
     ):
         if metric not in ("ip", "l2"):
@@ -95,7 +101,10 @@ class BruteForceIndex:
         self.dtype = dtype
         self.select = select
         self.engine = engine
-        self.rescore = rescore and dtype != "fp32"
+        # Exactness contract: the accum engine's binned selection is
+        # approximate, so it rescores by default (every dtype — the
+        # approximation is the engine's, not the dtype's).
+        self.rescore = engine == "accum" if rescore is None else bool(rescore)
         self.n, self.dim = base.shape
         self._device = device
 

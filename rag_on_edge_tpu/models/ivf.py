@@ -1063,23 +1063,16 @@ class IVFIndex:
         cap = int(-(-capacity_factor * mean_load // 128) * 128)
         return max(128, min(batch, 256, cap))
 
-    def _auto_cluster_k(self, k: int, nprobe: int, rescore: bool,
+    def _auto_cluster_k(self, k: int, rescore: bool,
                         rescore_k: int | None) -> int:
-        """Per-cluster emit depth: enough that the union of per-cluster
-        top-ck pools almost surely contains the true top-pool, at a
-        fraction of the in-kernel extract cost (which scales with ck).
-        A query's pool-of-kk candidates spread across its nprobe probed
-        clusters (~kk/nprobe each on average); 2x that plus margin covers
-        skewed splits, floored at 8 and never above the pool itself."""
-        kk = min(rescore_k or 2 * k, self.n) if rescore else k
-        # MEASURED (SIFT-1M np=4/8): a query's candidates do NOT split
-        # evenly across its probed clusters — the nearest cluster typically
-        # holds most of the top-kk, so truncating per-cluster emit depth
-        # below kk costs real recall (ck=kk/2 at np=4: 0.993→0.938;
-        # ck=8 at np=8: 0.79).  Default to the full pool depth; cluster_k
-        # stays available as an expert knob for distributions that do
-        # split (or recall-tolerant serving).
-        return kk
+        """Per-cluster emit depth: the FULL pool depth kk.  MEASURED
+        (SIFT-1M np=4/8): a query's candidates do NOT split evenly across
+        its probed clusters — the nearest cluster typically holds most of
+        the top-kk, so truncating per-cluster emit depth below kk costs
+        real recall (ck=kk/2 at np=4: 0.993→0.938; ck=8 at np=8: 0.79).
+        ``cluster_k`` stays available as an expert knob for distributions
+        that do split (or recall-tolerant serving)."""
+        return min(rescore_k or 2 * k, self.n) if rescore else k
 
     def _auto_recover(self, batch: int, nprobe: int,
                       capacity_factor: float = 8.0) -> bool:
@@ -1264,7 +1257,13 @@ class IVFIndex:
                 rb = -(-rb // self.CM_GROUP) * self.CM_GROUP
                 rp = recover_passes or self._auto_recover_passes(b, nprobe, rq)
             if cluster_k is None:
-                cluster_k = self._auto_cluster_k(k, nprobe, rescore, rescore_k)
+                cluster_k = self._auto_cluster_k(k, rescore, rescore_k)
+            else:
+                # Output-width guarantee: the join pool is nprobe*cluster_k
+                # wide; below kk it silently returned < k columns on the
+                # non-rescored path.  Clamp so pool width >= kk.
+                kk_out = min(rescore_k or 2 * k, self.n) if rescore else k
+                cluster_k = max(cluster_k, -(-kk_out // min(nprobe, self.nlist)))
             vals, ids, ncand, spill = self._search_cm_jit(
                 self._arrays, queries, k, nprobe,
                 qcap or self._auto_qcap(b, nprobe), engine, rescore, rq, rb, rp,

@@ -288,6 +288,23 @@ class ShardedBruteForceIndex:
         return ids_out, scores_out
 
 
+def _memo_last(fn):
+    """Memoize the most recent shard's result.  The _put_sharded loops
+    below all iterate shards in the same order, so a 1-entry cache lets
+    several arrays share one expensive per-shard slice (block tables,
+    the compact fp32 copy) without ever holding more than one shard's
+    worth of host memory."""
+    cache: dict = {}
+
+    def wrapped(s):
+        if cache.get("s") != s:
+            cache["s"] = s
+            cache["v"] = fn(s)
+        return cache["v"]
+
+    return wrapped
+
+
 def _put_sharded(mesh, axis: str, shape, dtype, shard_fn):
     """Assemble a global [S, ...] array from per-shard host slices.
 
@@ -542,14 +559,24 @@ class ShardedIVFIndex:
         for s, (lo, hi) in enumerate(bounds):
             cluster_shard[lo:hi] = s
 
+        # One computation per shard, shared across the arrays that consume
+        # it (tables feeds 4 arrays, the compact fp32 slice feeds 2,
+        # offset_maps feeds 2) — at the 10M flagship each extra compact
+        # call is a ~0.6 GB host copy and each tables call a full
+        # build_block_tables pass.
+        tables = _memo_last(tables)
+        offset_maps = _memo_last(offset_maps)
+        compact_f32 = _memo_last(
+            lambda s: compact(s, index._vectors_np, 0, np.float32)
+        )
+
         self._cm_base_scale = getattr(index, "_base_scale", None)
         arrays = {
             "vectors_t": _put_sharded(
                 mesh, axis, (S, nblocks_max, d_aug, blk), src_vt.dtype, vt_slice
             ),
             "vectors_c": _put_sharded(
-                mesh, axis, (S, rows_c_max, self.dim), np.float32,
-                lambda s: compact(s, index._vectors_np, 0, np.float32),
+                mesh, axis, (S, rows_c_max, self.dim), np.float32, compact_f32,
             ),
             "reorder_c": _put_sharded(
                 mesh, axis, (S, rows_c_max), np.int32,
@@ -557,9 +584,7 @@ class ShardedIVFIndex:
             ),
             "norms_c": _put_sharded(
                 mesh, axis, (S, rows_c_max), np.float32,
-                lambda s: np.sum(
-                    compact(s, index._vectors_np, 0, np.float32) ** 2, axis=1
-                ),
+                lambda s: np.sum(compact_f32(s) ** 2, axis=1),
             ),
             "po": _put_sharded(mesh, axis, (S, self.nlist), np.int32,
                                lambda s: offset_maps(s)[0]),

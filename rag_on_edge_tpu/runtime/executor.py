@@ -51,6 +51,22 @@ import numpy as np
 __all__ = ["BatchingExecutor", "SliceFuture"]
 
 
+def _rows_full(queue, bs: int) -> bool:
+    """True if the queued ROW count reaches bs.  Deque iteration raises
+    RuntimeError if the lock-free producer appends mid-scan — treat that
+    as not-full: the nap-path re-check (or, worst case, the deadline)
+    picks the batch up; never a hang."""
+    try:
+        rows = 0
+        for item in queue:
+            rows += item[1]._m or 1
+            if rows >= bs:
+                return True
+        return False
+    except RuntimeError:
+        return False
+
+
 class _BatchRecord:
     """One dispatched batch: filled by the collector, read by callers."""
 
@@ -131,6 +147,7 @@ class BatchingExecutor:
         # (query, handle, t_submit) tuples; deque.append is GIL-atomic, so
         # the submit path takes no lock.
         self._queue: deque = deque()
+        self._has_groups = False  # any group submit seen -> row-exact fullness
         self._wake = threading.Event()
         self._cond = threading.Condition()
         self._closed = False
@@ -150,9 +167,11 @@ class BatchingExecutor:
             raise RuntimeError("executor is closed")
         q = np.asarray(query, dtype=np.float32)
         single = q.ndim == 1
-        if not single and (q.ndim != 2 or q.shape[0] > self.batch_size):
+        if not single and (
+            q.ndim != 2 or not 1 <= q.shape[0] <= self.batch_size
+        ):
             raise ValueError(
-                f"expected [D] or a group of at most batch_size="
+                f"expected [D] or a group of 1..batch_size="
                 f"{self.batch_size} rows, got {q.shape}"
             )
         if q.shape[-1] != self.dim:
@@ -160,14 +179,31 @@ class BatchingExecutor:
         fut = SliceFuture(self)
         if not single:
             fut._m = q.shape[0]
+            # Fullness below is detected by ITEM count (the singleton fast
+            # path, where items == rows); group rows would launch late, so
+            # group submits always wake the dispatcher to re-count rows.
+            self._has_groups = True
         self._queue.append((q, fut, time.perf_counter()))
-        # Wake the dispatcher only at its two decision points: the first
+        # Wake the dispatcher only at its decision points: the first
         # request arms the deadline, a full batch launches.  (len() of a
         # deque is O(1); waking per-append would bounce the dispatcher —
         # and the GIL — once per request.)
         ql = len(self._queue)
-        if ql == 1 or ql >= self.batch_size:
+        if ql == 1 or ql >= self.batch_size or not single:
             self._wake.set()
+        if self._closed:
+            # Raced close(): the dispatcher may already have drained and
+            # exited, which would strand this future forever.  Withdraw
+            # the item and refuse; if the dispatcher popped it first (or
+            # pops it during the scan), it WILL be served — return
+            # normally in that case.
+            for item in list(self._queue):
+                if item[1] is fut:
+                    try:
+                        self._queue.remove(item)
+                    except ValueError:
+                        break  # dispatcher took it concurrently
+                    raise RuntimeError("executor is closed")
         return fut
 
     def search(self, query: np.ndarray, timeout: float = 60.0):
@@ -205,10 +241,13 @@ class BatchingExecutor:
         while True:
             if queue:
                 oldest = queue[0][2]
-                # Singleton-dominated fast path: len == rows.  Groups make
-                # len an underestimate of fullness only; the popleft loop
-                # re-checks row counts exactly.
-                full = len(queue) >= bs
+                # Singleton-dominated fast path: len == rows.  Once any
+                # group submit has been seen, re-count rows exactly —
+                # group rows would otherwise only launch on deadline
+                # expiry.
+                full = len(queue) >= bs or (
+                    self._has_groups and _rows_full(queue, bs)
+                )
                 expired = (time.perf_counter() - oldest) >= self.max_delay_s
                 if full or expired or self._closed:
                     taken, rows = [], 0
@@ -225,7 +264,8 @@ class BatchingExecutor:
                 # producer's wake — it sets the event after the append,
                 # so a set between our clear and wait is never lost).
                 self._wake.clear()
-                if len(queue) >= bs or self._closed:
+                if (len(queue) >= bs or self._closed
+                        or (self._has_groups and _rows_full(queue, bs))):
                     continue
                 remaining = self.max_delay_s - (time.perf_counter() - oldest)
                 self._wake.wait(timeout=max(remaining, 1e-4))

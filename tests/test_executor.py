@@ -149,3 +149,36 @@ def test_executor_pipelined_integrity(small_data, index):
         futs = [ex.submit(q[i]) for i in range(512)]
         got = np.stack([np.asarray(f.result(timeout=120)[1]) for f in futs])
     np.testing.assert_array_equal(got, direct_ids)
+
+
+def test_executor_rejects_zero_row_group(small_data, index):
+    """[0, D] passed validation but crashed the dispatcher thread outside
+    its try block, hanging every future — must raise at submit()."""
+    _, queries = small_data
+    with BatchingExecutor(
+        lambda q: index.search_device(q, k=3), dim=queries.shape[1], batch_size=8
+    ) as ex:
+        with pytest.raises(ValueError, match="1..batch_size"):
+            ex.submit(np.empty((0, queries.shape[1]), np.float32))
+        # executor still alive and serving
+        ids = ex.submit(queries[0]).result(timeout=30)[1]
+        direct_ids, _ = index.search(queries[:1], k=3)
+        np.testing.assert_array_equal(ids, direct_ids[0])
+
+
+def test_executor_group_rows_trigger_size_launch(small_data, index):
+    """Four [8, D] groups fill batch_size=32 by ROWS (len(queue)=4):
+    the batch must launch on fullness, not wait out a long deadline."""
+    import time
+
+    _, queries = small_data  # 32 queries
+    with BatchingExecutor(
+        lambda q: index.search_device(q, k=3), dim=queries.shape[1],
+        batch_size=32, max_delay_ms=10_000.0,  # deadline would dominate
+    ) as ex:
+        t0 = time.perf_counter()
+        futs = [ex.submit(queries[i * 8:(i + 1) * 8]) for i in range(4)]
+        for f in futs:
+            f.result(timeout=30)
+        elapsed = time.perf_counter() - t0
+    assert elapsed < 5.0, f"batch waited for the deadline ({elapsed:.1f}s)"
