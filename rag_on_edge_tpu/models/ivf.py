@@ -612,7 +612,15 @@ class IVFIndex:
         padg = (-vec_t.shape[0]) % max(self.CM_GROUP, 8)
         if padg:
             vec_t = np.pad(vec_t, ((0, padg), (0, 0), (0, 0)))
-            bc = np.pad(bc, (0, padg))
+            # Dummy blocks attach to the LAST cluster (first=last=0, no
+            # valid rows -> pure no-ops).  NOT cluster 0: the non-grouped
+            # kernel's output window is indexed by bc[j], and Pallas
+            # requires each output block be visited in one consecutive
+            # run — zero-padded bc would revisit cluster 0's output after
+            # its emit and flush stale scratch over the results (the
+            # sharded path works around the same hazard, sharded.py
+            # tables()).
+            bc = np.pad(bc, (0, padg), constant_values=max(self.nlist - 1, 0))
             bf, bl, rv = (np.pad(x, (0, padg)) for x in (bf, bl, rv))
         if self.dtype == "bf16":
             vec_t = jnp.asarray(vec_t).astype(jnp.bfloat16)
@@ -981,7 +989,7 @@ class IVFIndex:
         b = probes.shape[0]
         blk = self.PAD_BLOCK
         cmax = pallas_ivf_dma.CODE_MAX
-        kmin = jnp.int32(-(2**31) + 1)
+        kmin = jnp.int32(pallas_ivf_dma.KMIN)
         qcap_pv, w = pp.shape[1], pp.shape[2]
         tl = arrays["last_block"][probes]  # [b, P]
         ok = (slot >= 0) & (arrays["sizes"][probes] > 0)
@@ -1062,6 +1070,15 @@ class IVFIndex:
         mean_load = batch * min(nprobe, self.nlist) / self.nlist
         cap = int(-(-capacity_factor * mean_load // 128) * 128)
         return max(128, min(batch, 256, cap))
+
+    def _accum_dim_cap(self) -> int:
+        """Max dim the accum (planes) engine's int8 packed keys support
+        without int32 overflow; float paths are unconstrained (monotone
+        f32 keys carry no magnitude)."""
+        if self.dtype != "int8":
+            return 1 << 30
+        return (pallas_ivf_dma.INT8_DIM_MAX_BIAS if self.metric == "l2"
+                else pallas_ivf_dma.INT8_DIM_MAX)
 
     def _auto_cluster_k(self, k: int, rescore: bool,
                         rescore_k: int | None) -> int:
@@ -1226,6 +1243,7 @@ class IVFIndex:
                 eligible = (
                     self._cm_max_nb <= pallas_ivf_dma.CODE_MAX
                     and self.PAD_BLOCK <= 128 * pallas_ivf_dma.CODE_MAX
+                    and self.dim <= self._accum_dim_cap()
                 )
                 engine = "pallas_accum" if eligible else "pallas"
             pallas_engine = engine in ("pallas", "pallas_routed", "pallas_accum")
@@ -1237,6 +1255,14 @@ class IVFIndex:
                     f"{pallas_ivf_dma.CODE_MAX} blocks of {self.PAD_BLOCK} rows; "
                     f"this index has a {self._cm_max_nb}-block cluster — use "
                     "engine='pallas' or a larger pad_block"
+                )
+            if engine == "pallas_accum" and self.dim > self._accum_dim_cap():
+                raise ValueError(
+                    f"engine='pallas_accum' int8 path supports dim <= "
+                    f"{self._accum_dim_cap()} (int32 packed-key headroom: "
+                    f"|q.b| <= d*127^2 must clear the 8-bit shift"
+                    f"{', minus the L2 bias rows' if self.metric == 'l2' else ''}); "
+                    f"this index is {self.dim}-dim — use engine='pallas'"
                 )
             if engine == "pallas_accum" and self.PAD_BLOCK > 128 * pallas_ivf_dma.CODE_MAX:
                 raise ValueError(

@@ -155,8 +155,6 @@ def _kernel(q_ref, base_ref, *rest, k, n, tile_n, acc_dtype, nbins, dyn_n, l2):
     # caller's valid-row count isn't static, e.g. per-shard tails).
     n_bound = nv_ref[0] if dyn_n else n
     scores = jnp.where(global_cols < n_bound, scores, fill)
-    if nbins:
-        sc_ref[:] = scores  # staged for ref-slice binning
 
     # Threshold skip: selection only runs when some query's tile max beats
     # its current k-th best.  Tiles arrive in ascending id order, so an
@@ -168,6 +166,7 @@ def _kernel(q_ref, base_ref, *rest, k, n, tile_n, acc_dtype, nbins, dyn_n, l2):
     @pl.when(improves)
     def _select_and_merge():
         if nbins:
+            sc_ref[:] = scores  # staged for ref-slice binning (dead on skip)
             tv, ti = binned_top2(sc_ref, i * tile_n, tile_n, nbins, fill)
         else:
             tv, ti = _extract_topk(scores, global_cols, k, fill)

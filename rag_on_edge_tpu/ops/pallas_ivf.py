@@ -118,12 +118,13 @@ def _grouped_kernel(
         qcap = scores.shape[0]
         cols = jax.lax.broadcasted_iota(jnp.int32, (qcap, blk), 1)
         scores = jnp.where(cols < rows_valid[j], scores, fill)
-        sc_ref[:] = scores
-
         improves = jnp.any(jnp.max(scores, axis=1) > sv_ref[:, k - 1])
 
         @pl.when(improves)
         def _select():
+            # Staged only when selection runs: binned_top2 slices the REF
+            # (lane-aligned), and the store is dead on skipped blocks.
+            sc_ref[:] = scores
             tv, ti = binned_top2(sc_ref, row_base[j], blk, nbins, fill, depth=bin_depth)
             cand_v = jnp.concatenate([sv_ref[:], tv], axis=1)
             cand_i = jnp.concatenate([si_ref[:], ti], axis=1)
@@ -180,6 +181,8 @@ def cluster_major_scan_grouped(
         raise ValueError(
             f"vectors_t must be [nblocks, {d}, {blk}], got {vectors_t.shape}"
         )
+    if (qg_blocks.dtype == jnp.int8) != (vectors_t.dtype == jnp.int8):
+        raise ValueError("int8 path requires BOTH qg_blocks and vectors_t int8")
     ngroups = nblocks // group
     if row_base is None:
         row_base = jnp.arange(nblocks, dtype=jnp.int32) * blk
@@ -291,12 +294,13 @@ def _routed_grouped_kernel(
             scores = scores - bias_ref[0, i]
         cols = jax.lax.broadcasted_iota(jnp.int32, (qcap, blk), 1)
         scores = jnp.where(cols < rows_valid[j], scores, fill)
-        sc_ref[:] = scores
-
         improves = jnp.any(jnp.max(scores, axis=1) > sv_ref[:, k - 1])
 
         @pl.when(improves)
         def _select():
+            # Staged only when selection runs: binned_top2 slices the REF
+            # (lane-aligned), and the store is dead on skipped blocks.
+            sc_ref[:] = scores
             tv, ti = binned_top2(sc_ref, row_base[j], blk, nbins, fill, depth=bin_depth)
             cand_v = jnp.concatenate([sv_ref[:], tv], axis=1)
             cand_i = jnp.concatenate([si_ref[:], ti], axis=1)
@@ -352,6 +356,8 @@ def cluster_major_scan_routed(
         raise ValueError(
             f"vectors_t must be [nblocks, {d}, {blk}], got {vectors_t.shape}"
         )
+    if (qi.dtype == jnp.int8) != (vectors_t.dtype == jnp.int8):
+        raise ValueError("int8 path requires BOTH qi and vectors_t int8")
     ngroups = nblocks // group
     if row_base is None:
         row_base = jnp.arange(nblocks, dtype=jnp.int32) * blk
@@ -449,14 +455,14 @@ def _kernel(
     qcap = scores.shape[0]
     cols = jax.lax.broadcasted_iota(jnp.int32, (qcap, blk), 1)
     scores = jnp.where(cols < rows_valid[j], scores, fill)
-    # Stage scores in scratch: Mosaic cannot lane-slice computed values,
-    # but slicing a VMEM ref is native — the binning below reads chunks.
-    sc_ref[:] = scores
-
     improves = jnp.any(jnp.max(scores, axis=1) > sv_ref[:, k - 1])
 
     @pl.when(improves)
     def _select():
+        # Stage scores in scratch: Mosaic cannot lane-slice computed
+        # values, but slicing a VMEM ref is native — the binning below
+        # reads chunks.  Stored only when selection runs (dead on skip).
+        sc_ref[:] = scores
         # Top-2-per-strided-bin partial reduction (shared with the
         # brute-force kernel; TPU-KNN PartialReduce, arXiv:2206.14286) —
         # lost near-duplicates are recovered statistically by the k' > k
@@ -514,6 +520,15 @@ def cluster_major_scan(
     Returns (pv [nlist, qcap, k] f32, pr [nlist, qcap, k] i32 — global row
     ids into the padded layout).  Slots not recorded by the probe
     inversion carry garbage; the join must not read them.
+
+    OUTPUT-WINDOW CONSTRAINT: the output refs are indexed by
+    ``block_cluster[j]``, and Pallas requires each output block to be
+    visited in ONE consecutive grid run.  Walk blocks sorted by cluster,
+    and point any padding/excluded blocks at the cluster of the
+    IMMEDIATELY PRECEDING real block (with rows_valid 0) — a dummy whose
+    cluster id revisits an earlier cluster flushes stale scratch over its
+    already-emitted rows.  (The grouped/routed variants return per-BLOCK
+    outputs and have no such constraint.)
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"

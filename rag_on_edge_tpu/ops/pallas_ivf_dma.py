@@ -45,10 +45,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rag_on_edge_tpu.ops.pallas_bruteforce import _extract_topk
 
-__all__ = ["cluster_major_accum", "cluster_major_accum_planes", "CODE_MAX"]
+__all__ = ["cluster_major_accum", "cluster_major_accum_planes", "CODE_MAX",
+           "INT8_DIM_MAX", "INT8_DIM_MAX_BIAS", "KMIN"]
 
 CODE_MAX = 16  # blocks-per-cluster cap (4 low bits of the packed key)
-_KMIN = -(2**31) + 1
+# int8-path dimension caps (int32 key headroom): |q.b| <= d*127^2 must stay
+# below 2^23 after the 8-bit shift; the L2 bias path also subtracts rows
+# pre-shifted to up to 2^29, tightening the bound.
+INT8_DIM_MAX = 512
+INT8_DIM_MAX_BIAS = 384
+# Invalid-entry sentinel of the packed planes (the join filters on it —
+# import KMIN there, never re-derive it).
+KMIN = _KMIN = -(2**31) + 1
 
 
 def _monotone_key(x: jax.Array) -> jax.Array:
@@ -268,9 +276,12 @@ def cluster_major_accum(
                Clusters must span <= ``CODE_MAX`` blocks.
     bias_rows: int8-L2 mode — [nblocks, 1, blk] int32 pre-shifted rows
                ``round(norms/alpha)<<4 - code(t)`` with padded columns set
-               to a huge fill (see the model's ``_accum_bias_rows``); when
-               present the kernel skips the rows_valid mask (the fill
-               already buries padding).
+               to a huge fill; when present the kernel skips the
+               rows_valid mask (the fill already buries padding).
+               CAUTION: this 4-bit layout is NOT the planes builder's —
+               the model's inline builder (ivf.py, planes path) pre-shifts
+               by 8 and subtracts the full ``(code<<4)|cid`` pack; reusing
+               it here would scale scores by 256 and scramble block codes.
     mask_rows: force/skip the per-block rows_valid mask (default: skip
                exactly when bias_rows covers padding).
     Returns (pv [nblocks, qcap, k] f32, pr [nblocks, qcap, k] i32 global
@@ -421,6 +432,20 @@ def cluster_major_accum_planes(
     has_bias = bias_rows is not None
     if has_bias and not int_path:
         raise ValueError("bias_rows is the int8-L2 path")
+    if int_path:
+        # int32 headroom for the packed key: |dots| <= d*127^2 must clear
+        # the 8-bit shift (< 2^23), and the bias path additionally
+        # subtracts pre-shifted rows clipped at |bias| <= 2^21 (a further
+        # 2^29 after the shift) — without these bounds the shift wraps
+        # and ranking is silently garbage.
+        d_cap = INT8_DIM_MAX_BIAS if has_bias else INT8_DIM_MAX
+        if d > d_cap:
+            raise ValueError(
+                f"int8 planes path supports dim <= {d_cap} "
+                f"({'L2 bias' if has_bias else 'IP'}): |q.b| <= d*127^2 "
+                f"must fit int32 after the 8-bit key shift; got d={d}. "
+                "Use engine='pallas' (grouped kernel) for wider vectors."
+            )
     nplanes = 2 if bin2 else 1
     w = nplanes * 128
     ngroups = nblocks // group

@@ -711,8 +711,20 @@ class ShardedIVFIndex:
                     bias2 = None
                     if bias is not None:
                         bias2 = bias.reshape(nblocks_local, blk)[blocks_list].reshape(1, -1)
+                    # cluster_major_scan's OUTPUT window is indexed by the
+                    # block->cluster map, and Pallas requires each output
+                    # block be visited in ONE consecutive run.  The
+                    # excluded tail (inactive blocks, incl. table-padding
+                    # dummies whose bc = last owned cluster) could revisit
+                    # an active cluster's row after its emit and flush
+                    # stale scratch over it — park the tail on the LAST
+                    # included block's cluster instead (consecutive
+                    # continuation; rv=0 makes the steps no-ops).
+                    bls = bc[blocks_list]
+                    n_inc = jnp.sum(inc_list.astype(jnp.int32))
+                    bc2 = jnp.where(inc_list, bls, bls[jnp.clip(n_inc - 1, 0)])
                     pv2, pr2 = pallas_ivf.cluster_major_scan(
-                        qg2, vecs_t[blocks_list], bc[blocks_list],
+                        qg2, vecs_t[blocks_list], bc2,
                         jnp.where(inc_list, bf[blocks_list], 0),
                         jnp.where(inc_list, bl[blocks_list], 0),
                         jnp.where(inc_list, rv[blocks_list], 0),
