@@ -268,3 +268,25 @@ class TestIndexEngines:
         v2, i2, c2 = idx2.search_device(jnp.asarray(base[:16]), 5, 1,
                                         mode="cluster")
         assert i2.shape == (16, 5)
+
+
+def test_int8_planes_dim_bound_rejected():
+    """int8 packed keys overflow int32 beyond d=512 (IP) / 384 (L2 bias):
+    the kernel must refuse, and IVFIndex auto must fall back to the
+    grouped engine instead of returning silently-garbage rankings."""
+    import numpy as np
+    import pytest
+    from rag_on_edge_tpu.models.ivf import IVFIndex
+    from rag_on_edge_tpu.ops import pallas_ivf_dma
+
+    rng = np.random.default_rng(0)
+    base = rng.normal(scale=20, size=(2048, 768)).astype(np.float32)
+    idx = IVFIndex.build(base, nlist=8, metric="l2", dtype="int8",
+                         seed=42, max_iter=5)
+    assert idx._accum_dim_cap() == pallas_ivf_dma.INT8_DIM_MAX_BIAS
+    q = base[:16]
+    with pytest.raises(ValueError, match="dim"):
+        idx.search(q, k=5, nprobe=2, mode="cluster", engine="pallas_accum")
+    # auto falls back to the grouped engine and still searches correctly
+    ids, _, _ = idx.search(q, k=1, nprobe=8, mode="cluster", engine="auto")
+    assert (np.asarray(ids)[:, 0] == np.arange(16)).mean() >= 0.9
