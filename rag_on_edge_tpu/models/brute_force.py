@@ -96,6 +96,18 @@ class BruteForceIndex:
             raise ValueError(f"unknown engine {engine!r}")
         if engine == "auto":
             engine = "accum" if base.shape[0] >= 100_000 else "xla"
+            if engine == "accum" and dtype == "int8" and base.shape[1] > 4096:
+                # int32 packed-key headroom: |q.b| <= d*127^2 must clear the
+                # 5-bit group-code shift; wider vectors fall back to the
+                # exact fused kernel (see _search_accum's guard).
+                engine = "pallas"
+        if engine == "accum" and dtype == "int8" and base.shape[1] > 4096:
+            raise ValueError(
+                "engine='accum' int8 path supports dim <= 4096 (int32 "
+                "packed-key headroom: |q.b| <= d*127^2 must clear the "
+                f"group-code shift); got dim={base.shape[1]} — use "
+                "engine='pallas'"
+            )
 
         self.metric = metric
         self.dtype = dtype
@@ -135,9 +147,10 @@ class BruteForceIndex:
                 )
                 arrays["base_tiles"] = put(jnp.asarray(tiles))
                 if metric == "l2":
+                    norms_np = np.asarray(distances.base_norms_sq(base_f32))
+                    self._max_norm = float(norms_np.max()) if norms_np.size else 0.0
                     arrays["norms_tiled"] = put(jnp.asarray(bf_dma.tile_norms(
-                        np.asarray(distances.base_norms_sq(base_f32)),
-                        self._acc_tile_n, self._acc_group,
+                        norms_np, self._acc_tile_n, self._acc_group,
                     )))
             elif engine == "pallas":
                 arrays["base_t"] = put(qt.values.T)
@@ -217,9 +230,25 @@ class BruteForceIndex:
         return vals, ids
 
     def _search_accum(self, arrays, queries: jax.Array, k: int):
-        """Manual-DMA packed-accumulation engine (ops/pallas_bruteforce_dma)."""
+        """Manual-DMA packed-accumulation engine (ops/pallas_bruteforce_dma).
+
+        int8-L2 CAUTION: the integer bias ``round(norms/alpha)`` with
+        ``alpha = 2*sq*sb`` grows as the query scale sq SHRINKS — queries
+        much smaller in magnitude than the base can overflow the packed
+        key at runtime (not statically checkable; the host ``search()``
+        wrapper validates it, ``search_device`` callers are on their own).
+        With the default rescore the damage is bounded to candidate-set
+        recall, never wrong scores."""
         tiles = arrays["base_tiles"]
         g, d = self._acc_group, self._acc_depth
+        if k > self._acc_tile_n:
+            # The accumulator has tile_n candidate bins; a selection pool
+            # beyond that repeats bins -> duplicate ids, dropped truth.
+            raise ValueError(
+                f"engine='accum' supports k (and the 2k rescore pool) up "
+                f"to its {self._acc_tile_n} selection bins; got pool {k} — "
+                "use engine='pallas' or 'xla' for very deep top-k"
+            )
         if self.dtype == "int8":
             if self.metric == "l2":
                 # One global query scale: the integer bias round(norms/alpha)
@@ -332,6 +361,29 @@ class BruteForceIndex:
         """
         queries = np.asarray(queries, dtype=np.float32)
         nq = queries.shape[0]
+        if batch_size is not None and batch_size < 1:
+            raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+        if nq == 0:
+            return (np.empty((0, k), np.int32), np.empty((0, k), np.float32))
+        if self.engine == "accum" and self.dtype == "int8" and self.metric == "l2":
+            # Runtime packed-key headroom (see _search_accum): the bias
+            # round(norms/alpha) with alpha = 2*sq*sb explodes when query
+            # magnitudes are far below the base's.  Checkable here because
+            # the queries are on the host.
+            sq = max(float(np.abs(queries).max()), 1e-12) / 127.0
+            alpha = 2.0 * sq * float(self._arrays["base_scale"])
+            shift = self._acc_group.bit_length() - 1
+            # Real rows only: l2_bias_rows clamps padding safely, but a
+            # REAL row's bias hitting the clamp would mis-rank it upward.
+            max_key = (self.dim * 127 * 127 + self._max_norm / alpha) * (1 << shift)
+            if max_key >= 2.0**31:
+                raise ValueError(
+                    "engine='accum' int8-L2 packed keys would overflow "
+                    f"int32 for this query/base scale ratio (max|q|="
+                    f"{np.abs(queries).max():.3g} vs base scale "
+                    f"{float(self._arrays['base_scale']):.3g}) — use "
+                    "engine='pallas' (exact norms-bias kernel) or rescale"
+                )
         bs = batch_size or nq
         ids_out = np.empty((nq, k), dtype=np.int32)
         scores_out = np.empty((nq, k), dtype=np.float32)

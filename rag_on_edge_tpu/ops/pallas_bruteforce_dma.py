@@ -327,9 +327,17 @@ def l2_bias_rows(norms_tiled: jax.Array, alpha, group: int) -> jax.Array:
     ``key = dots*G - rows = (dots - round(norms/alpha))*G + code``.
     """
     t = norms_tiled.shape[0]
+    shift = group.bit_length() - 1
     code = (group - 1 - (jnp.arange(t, dtype=jnp.int32) % group))
-    bias = jnp.round(norms_tiled / alpha).astype(jnp.int32)
-    return jax.lax.shift_left(bias, group.bit_length() - 1) - code[:, None, None]
+    # Clamp BEFORE the int cast/shift: the padding fill (2^24 raw units)
+    # divided by a small alpha otherwise overflows int32 and wraps
+    # unpredictably.  The cap keeps every key within int32 while still
+    # guaranteeing capped columns lose (key <= -2^30 + dots*G): only
+    # real rows whose norms/alpha exceed the cap would mis-rank, and the
+    # host search() guard rejects that scale regime up front.
+    cap = jnp.float32((1 << 30) >> shift)
+    bias = jnp.minimum(jnp.round(norms_tiled / alpha), cap).astype(jnp.int32)
+    return jax.lax.shift_left(bias, shift) - code[:, None, None]
 
 
 def tile_norms(norms: jax.Array, tile_n: int, group: int, fill: float = 2.0**24):

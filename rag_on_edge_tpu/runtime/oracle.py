@@ -28,6 +28,10 @@ _build_failed = False
 
 def build_library(force: bool = False) -> str | None:
     """Compile cpu_oracle.cpp → libcpu_oracle.so. Returns the path or None."""
+    if not os.path.exists(_SRC):
+        # Source-less install (e.g. a packaged wheel): use a prebuilt .so
+        # if present, else signal the NumPy fallback.
+        return _LIB if os.path.exists(_LIB) else None
     if os.path.exists(_LIB) and not force and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
         return _LIB
     cmd = [
@@ -90,8 +94,12 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
         ]
-        lib.oracle_abi_version.restype = ctypes.c_int
-        if lib.oracle_abi_version() != 1:
+        try:
+            lib.oracle_abi_version.restype = ctypes.c_int
+            abi = lib.oracle_abi_version()
+        except AttributeError:
+            abi = -1  # pre-ABI-tag .so: stale by definition
+        if abi != 1:
             _build_failed = True
             return None
         _lib = lib
@@ -102,13 +110,26 @@ def native_available() -> bool:
     return _load() is not None
 
 
-def _numpy_fallback(queries, base, k, metric):
-    scores = queries @ base.T
-    if metric == "l2":
-        scores = 2.0 * scores - np.sum(base.astype(np.float32) ** 2, axis=1)[None, :]
-    order = np.lexsort((np.broadcast_to(np.arange(base.shape[0]), scores.shape), -scores), axis=1)
-    ids = order[:, :k].astype(np.int32)
-    return ids, np.take_along_axis(scores, ids, axis=1).astype(np.float32)
+def _numpy_fallback(queries, base, k, metric, query_chunk: int = 512):
+    """Chunked exact search: bounded memory (a full [Q, N] score matrix is
+    40 GB at 10K x 1M — the chunk keeps it to query_chunk rows)."""
+    ids_out = np.empty((queries.shape[0], k), np.int32)
+    scores_out = np.empty((queries.shape[0], k), np.float32)
+    base_norms = (np.sum(base.astype(np.float32) ** 2, axis=1)[None, :]
+                  if metric == "l2" else None)
+    for q0 in range(0, queries.shape[0], query_chunk):
+        scores = queries[q0:q0 + query_chunk] @ base.T
+        if base_norms is not None:
+            scores = 2.0 * scores - base_norms
+        order = np.lexsort(
+            (np.broadcast_to(np.arange(base.shape[0]), scores.shape), -scores),
+            axis=1,
+        )
+        ids = order[:, :k].astype(np.int32)
+        ids_out[q0:q0 + query_chunk] = ids
+        scores_out[q0:q0 + query_chunk] = np.take_along_axis(
+            scores, ids, axis=1).astype(np.float32)
+    return ids_out, scores_out
 
 
 def oracle_search(

@@ -14,6 +14,7 @@ Real SIFT files, if present under the data root with the standard names
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass, field
 
@@ -86,13 +87,34 @@ def make_synthetic(
 
 
 def _chunk_topk(scores: np.ndarray, ids: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """Per-row top-k (descending score) via argpartition; ties broken by lower id."""
+    """Per-row top-k (descending score), ties broken by lower id.
+
+    Partitioning on the score alone splits boundary TIES arbitrarily
+    (integer-valued corpora — synthetic and real SIFT both — tie often),
+    disagreeing with the cpu_oracle and the lexsort fallback at rank k.
+    The f64 composite key ``score·2²⁵ − id`` makes the partition itself
+    tie-exact: scores here are integer-valued with |s|·2²⁵ ≪ 2⁵³ and
+    ids < 2²⁵, so the key is exact and strictly ordered by (score desc,
+    id asc).  Non-integer corpora tie with probability ~0.
+    """
     k = min(k, scores.shape[1])
-    if k < scores.shape[1]:
-        part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
-        scores = np.take_along_axis(scores, part, axis=1)
-        ids = np.take_along_axis(ids, part, axis=1)
-    order = np.lexsort((ids, -scores), axis=1)
+    if ids.size and int(ids.max()) >= (1 << 25):
+        # >33M-row corpus: the composite key can no longer separate a
+        # 1-unit score step from the id term — fall back to score-only
+        # partition + lexsort (boundary ties then follow the partition).
+        if k < scores.shape[1]:
+            part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+            scores = np.take_along_axis(scores, part, axis=1)
+            ids = np.take_along_axis(ids, part, axis=1)
+        order = np.lexsort((ids, -scores), axis=1)
+    else:
+        key = scores.astype(np.float64) * float(1 << 25) - ids
+        if k < scores.shape[1]:
+            part = np.argpartition(-key, k - 1, axis=1)[:, :k]
+            key = np.take_along_axis(key, part, axis=1)
+            scores = np.take_along_axis(scores, part, axis=1)
+            ids = np.take_along_axis(ids, part, axis=1)
+        order = np.argsort(-key, axis=1, kind="stable")
     return (
         np.take_along_axis(scores, order, axis=1),
         np.take_along_axis(ids, order, axis=1),
@@ -248,22 +270,54 @@ def load_dataset(
     n_base, n_queries, dim, n_clusters = DATASET_SPECS[name]
     p = _paths(root, name)
 
+    synth_marker = os.path.join(p["dir"], f"{name}_synth.json")
     if not (os.path.exists(p["base"]) and os.path.exists(p["query"])):
         os.makedirs(p["dir"], exist_ok=True)
         base, queries = make_synthetic(n_base, n_queries, dim, n_clusters)
         io.write_fvecs(p["base"], base)
         io.write_fvecs(p["query"], queries)
+        with open(synth_marker, "w") as f:
+            json.dump({"n_base": n_base, "n_queries": n_queries,
+                       "dim": dim, "synthetic": True}, f)
     else:
         base = io.read_fvecs(p["base"])
         queries = io.read_fvecs(p["query"])
+        # For files WE synthesized (marker present), a crash mid-write
+        # (the 10M base is ~5 GB) can leave a truncated file that still
+        # parses on a record boundary — catch it before ground truth is
+        # computed for the wrong corpus.  Files without the marker are
+        # real-dataset drop-ins: any self-consistent shape is accepted.
+        if os.path.exists(synth_marker):
+            with open(synth_marker) as f:
+                expect = json.load(f)
+            if (base.shape != (expect["n_base"], expect["dim"])
+                    or queries.shape != (expect["n_queries"], expect["dim"])):
+                raise ValueError(
+                    f"cached synthetic {name} files do not match their "
+                    f"manifest (base {base.shape} vs "
+                    f"({expect['n_base']}, {expect['dim']}), queries "
+                    f"{queries.shape}) — a truncated write; delete "
+                    f"{p['dir']} to re-synthesize"
+                )
+        elif base.shape[1] != queries.shape[1]:
+            raise ValueError(
+                f"{name}: base dim {base.shape[1]} != query dim "
+                f"{queries.shape[1]}"
+            )
 
     gt_ip = gt_l2 = None
     if compute_gt:
         if os.path.exists(p["gt_ip"]):
             gt_ip = io.read_ivecs(p["gt_ip"])
+            if gt_ip.shape[1] < gt_k:
+                gt_ip = None  # stale narrow cache: recompute at the asked depth
         if os.path.exists(p["gt_l2"]):
             gt_l2 = io.read_ivecs(p["gt_l2"])
+            if gt_l2.shape[1] < gt_k:
+                gt_l2 = None
         elif os.path.exists(p["gt_texmex"]):
+            # A real TEXMEX groundtruth (L2) is authoritative even when
+            # narrower than gt_k; gt_k clamps to it below.
             gt_l2 = io.read_ivecs(p["gt_texmex"])
         if gt_ip is None:
             gt_ip = ground_truth(base, queries, gt_k, metric="ip")
@@ -271,7 +325,7 @@ def load_dataset(
         if gt_l2 is None:
             gt_l2 = ground_truth(base, queries, gt_k, metric="l2")
             io.write_ivecs(p["gt_l2"], gt_l2)
-        gt_k = min(gt_k, gt_ip.shape[1])
+        gt_k = min(gt_k, gt_ip.shape[1], gt_l2.shape[1])
 
     return Dataset(
         name=name,

@@ -64,7 +64,18 @@ def read_bvecs(path: str | os.PathLike, max_vectors: int | None = None) -> np.nd
     rec = dim + 4
     if dim <= 0 or raw.size % rec != 0:
         raise ValueError(f"{path}: invalid or truncated bvecs (dim={dim})")
-    mat = raw.reshape(-1, rec)[:, 4:]
+    recs = raw.reshape(-1, rec)
+    # Validate EVERY record's dim header (like _read_vecs) — a mixed-dim
+    # or misaligned file whose size happens to divide rec would otherwise
+    # interleave headers into the payload silently.
+    headers = recs[:, :4].copy().view(np.int32).reshape(-1)
+    if not (headers == dim).all():
+        bad = int(np.argmax(headers != dim))
+        raise ValueError(
+            f"{path}: inconsistent bvecs dim header at record {bad}: "
+            f"{int(headers[bad])} != {dim}"
+        )
+    mat = recs[:, 4:]
     return (mat[:max_vectors] if max_vectors is not None else mat).copy()
 
 

@@ -37,8 +37,22 @@ def recall_at_k(predicted: np.ndarray, ground_truth: np.ndarray, k: int) -> floa
 
     Matches reference ``main_ivf.cpp:52-59`` / ``benchmark_ivf.py:168-172``.
     """
-    pred = np.asarray(predicted)[:, :k]
-    gt = np.asarray(ground_truth)[:, :k]
+    pred = np.asarray(predicted)
+    gt = np.asarray(ground_truth)
+    # Silent truncation here reads as a catastrophic recall drop (a 10-col
+    # gt at k=100 caps recall at 0.10) — fail loudly instead.
+    if gt.shape[1] < k or pred.shape[1] < k:
+        raise ValueError(
+            f"recall@{k} needs >= {k} columns; got predicted "
+            f"{pred.shape} vs ground truth {gt.shape} — recompute the "
+            f"ground truth at depth >= {k} (load_dataset(gt_k=...))"
+        )
+    if gt.shape[0] != pred.shape[0]:
+        raise ValueError(
+            f"row mismatch: {pred.shape[0]} predictions vs "
+            f"{gt.shape[0]} ground-truth rows"
+        )
+    pred, gt = pred[:, :k], gt[:, :k]
     hits = 0
     for p_row, g_row in zip(pred, gt):
         hits += len(np.intersect1d(p_row, g_row, assume_unique=False))
