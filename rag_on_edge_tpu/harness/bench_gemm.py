@@ -59,6 +59,9 @@ def run(m: int = 128, k: int = 128, n: int = 10240, dtype: str = "int8",
         rows: int | None = None, cols: int | None = None, iters: int = 100,
         warmup: int = 2, pallas: bool = True, seed: int = 0,
         stack: int = 16, quiet: bool = False) -> dict:
+    from rag_on_edge_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if rows is None or cols is None:
         nd = len(jax.devices())
         rows = rows or (4 if nd >= 16 else (2 if nd >= 4 else 1))

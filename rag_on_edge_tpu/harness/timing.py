@@ -47,7 +47,15 @@ def unique_variants(batches, copies: int, jitter: float = 1e-3):
             elif jnp.issubdtype(b.dtype, jnp.floating):
                 out.append(b + jnp.asarray(r * jitter, b.dtype))
             else:
-                out.append(jnp.roll(b, r, axis=0))
+                # Roll is periodic in the row count, so a roll alone
+                # repeats bitwise once r reaches rows (73 of 200 variants
+                # were duplicates at iters=200 on a 128-row batch); the
+                # +r//rows constant keeps every variant distinct (an
+                # integer add is a bijection mod 2^bits — equal only if
+                # the constants collide, which r//rows < 2^bits prevents).
+                rows = int(b.shape[0])
+                out.append(jnp.roll(b, r % rows, axis=0)
+                           + jnp.asarray(r // rows, b.dtype))
     return jax.block_until_ready(out)
 
 
@@ -90,16 +98,19 @@ def measure_throughput(fn, batches, warmup: int = 2, repeats: int = 10) -> float
         return float(np.asarray(carry))
 
     # Warmup compiles both call forms (plain first call + chained call)
-    # on ad-hoc variants that never reappear in the timed chain.  Integer
-    # inputs are rolled, not offset — adding a float would silently
-    # promote them and compile (and warm) the wrong kernel.
-    v0 = variants[0]
-    if jnp.issubdtype(v0.dtype, jnp.floating):
-        w0 = v0 + jnp.asarray(7.7, v0.dtype)
-    else:
-        w0 = jnp.roll(v0, 7, axis=0)
-    run_chain([v0, w0])
-    del warmup
+    # on ad-hoc variants that never reappear in the timed chain: the
+    # feature-axis roll is disjoint from the row-axis transforms that
+    # generate timed variants (a row roll-by-7 warmup was bitwise equal
+    # to the r=7 timed variant).  Integer inputs are rolled, not offset —
+    # adding a float would silently promote them and compile (and warm)
+    # the wrong kernel.
+    if warmup > 0:
+        v0 = variants[0]
+        if jnp.issubdtype(v0.dtype, jnp.floating):
+            w0 = v0 + jnp.asarray(7.7, v0.dtype)
+        else:
+            w0 = jnp.roll(v0, 3, axis=-1)
+        run_chain([v0, w0][:min(warmup, 2)])
     timed = variants[n:]
     n_queries = sum(int(b.shape[0]) for b in timed)
     t0 = time.perf_counter()

@@ -48,8 +48,11 @@ def score_matrix(
         b = b.astype(compute_dtype)
     # fp32 inputs get true-f32 MXU passes: the TPU default lowers f32
     # matmuls to one bf16 pass (~0.4% error), which flips near-tie
-    # rankings on large-magnitude L2 scores.
-    precision = None if compute_dtype is not None else jax.lax.Precision.HIGHEST
+    # rankings on large-magnitude L2 scores.  An EXPLICIT
+    # compute_dtype=float32 means the same thing as None here — it must
+    # not silently drop HIGHEST.
+    precision = (jax.lax.Precision.HIGHEST
+                 if compute_dtype in (None, jnp.float32) else None)
     dots = jax.lax.dot_general(
         q,
         b,

@@ -65,6 +65,15 @@ def quantize_int8(
 
 
 def dequantize(scores_i32: jax.Array, query_scale: jax.Array, base_scale: jax.Array) -> jax.Array:
-    """int32 inner-product scores → fp32 (scale product), for reporting.
-    ``query_scale`` may be per-row [B, 1] when queries use per-row scales."""
+    """int32 inner-product scores [B, N] → fp32 (scale product).
+    ``query_scale`` may be per-row [B, 1]; ``base_scale`` must be a
+    SCALAR — a per-row base scale ([N, 1]) would need an outer product
+    and silently multiplies the wrong axis when B == N, so it is
+    rejected."""
+    if jnp.ndim(base_scale) and jnp.size(base_scale) != 1:
+        raise ValueError(
+            f"base_scale must be scalar (one global base scale); got shape "
+            f"{jnp.shape(base_scale)} — per-row base scales need an outer "
+            "product with the query scales"
+        )
     return scores_i32.astype(jnp.float32) * (query_scale * base_scale)

@@ -133,7 +133,17 @@ def dedup_rows_by_id(
     ``sentinel_base`` so they never collapse onto each other or a real id
     (callers' real ids must stay below it).  Returns id-sorted
     ``(vals, ids[, payload])`` — selection order changes, so select AFTER
-    this (e.g. ``small_topk``)."""
+    this (e.g. ``small_topk``).
+
+    FLOAT scores only: the validity test and duplicate mask use the -inf
+    sentinel.  Integer score pools (INT32_MIN sentinels) would pass the
+    validity test vacuously and be silently promoted to f32 — dequantize
+    or cast (with an explicit sentinel remap) before calling."""
+    if not jnp.issubdtype(vals.dtype, jnp.floating):
+        raise TypeError(
+            f"dedup_rows_by_id needs float scores (-inf invalid-sentinel "
+            f"semantics); got {vals.dtype}"
+        )
     b, m = vals.shape
     valid = vals > -jnp.inf
     key = jnp.where(

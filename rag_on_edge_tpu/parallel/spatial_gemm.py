@@ -58,8 +58,10 @@ def spatial_matmul(a: jax.Array, b: jax.Array, mesh: Mesh, use_pallas_kernel: bo
     if k != k2:
         raise ValueError(f"contraction mismatch: {k} vs {k2}")
     rows, cols = mesh.devices.shape
-    if m % rows or n % cols:
-        raise ValueError(f"M={m} must divide mesh rows={rows}, N={n} cols={cols}")
+    if m % rows:
+        raise ValueError(f"M={m} must be divisible by the mesh's {rows} rows")
+    if n % cols:
+        raise ValueError(f"N={n} must be divisible by the mesh's {cols} cols")
     acc = jnp.int32 if a.dtype == jnp.int8 else jnp.float32
 
     a = jax.device_put(a, NamedSharding(mesh, P("row", None)))
@@ -79,7 +81,12 @@ def _spatial_fn(mesh: Mesh, use_pallas_kernel: bool, acc_name: str):
 
             return tiled_matmul(a_blk, b_blk)
         return jax.lax.dot_general(
-            a_blk, b_blk, (((1,), (0,)), ((), ())), preferred_element_type=acc
+            a_blk, b_blk, (((1,), (0,)), ((), ())), preferred_element_type=acc,
+            # fp32 ranks/verifies against rtol=1e-4; the TPU default is a
+            # single bf16 pass (~0.4% error) which spuriously fails
+            # verify_matmul on a CORRECT run (CLAUDE.md precision rule).
+            precision=(jax.lax.Precision.HIGHEST
+                       if acc is jnp.float32 else None),
         )
 
     return jax.jit(
