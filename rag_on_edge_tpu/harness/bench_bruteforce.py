@@ -84,7 +84,7 @@ def run(
     n, dim = ds.base.shape
     flops_per_batch = 2.0 * batch * dim * n
     gflops = flops_per_batch / (lat.mean * 1e-3) / 1e9 if lat.mean else 0.0
-    oi = metrics.operational_intensity(batch, dim, n, dtype_bytes=1 if dtype == "int8" else 4)
+    oi = metrics.operational_intensity(batch, dim, n, dtype_bytes={"int8": 1, "bf16": 2}.get(dtype, 4))
 
     # Time breakdown — the honest TPU analog of the reference's
     # quantize/execute/top-k/post-processing percentages (main.cpp:383-388):

@@ -59,7 +59,10 @@ def run(dataset: str = "sift", batch: int = 2048, nprobe: int = 4, k: int = 10,
         wall = time.perf_counter() - t0
     qps = requests / wall
     lat = metrics.LatencyStats.from_samples(((t_done - t_submit) * 1e3).tolist())
-    recall = metrics.recall_at_k(ids[:nq], ds.ground_truth_l2[:nq], k)
+    # Recall over the requests actually issued (requests < nq would
+    # otherwise crash the row-count check AFTER the whole timed run).
+    nr = min(nq, requests)
+    recall = metrics.recall_at_k(ids[:nr], ds.ground_truth_l2[:nr], k)
     out = {
         "dataset": dataset, "requests": requests, "batch": batch,
         "nprobe": nprobe, "k": k, "inflight": inflight,

@@ -102,16 +102,13 @@ def run(
 
     # Coarse-only executable for the phase split (the reference reports
     # centroid/fine time separately — SearchTiming, IVFIndex.h:31-36).
-    from rag_on_edge_tpu.ops import distances as _dist, topk as _topk
-
-    def _coarse(arrays, q):
-        c = _dist.score_matrix(
-            q, arrays["centroids"], metric=index.coarse_metric,
-            base_norms=arrays.get("centroid_norms"),
-        )
-        return _topk.small_topk(c, min(max(nprobes), index.nlist))[1]
-
-    coarse_jit = jax.jit(_coarse)
+    # Uses the PRODUCTION _coarse_probes (bf16 tier at nlist>=512, fused
+    # kernel at >=8192) — a hand-rolled fp32 copy here overstated the
+    # coarse share on exactly the headline 1M configs.
+    coarse_jit = jax.jit(
+        lambda arrays, q, _np=min(max(nprobes), index.nlist):
+            index._coarse_probes(arrays, q, _np)
+    )
 
     # Measured IVF-vs-brute speedup (the reference reports per-nprobe
     # speedup against its own brute path, benchmark_ivf.py:220-257).
@@ -134,7 +131,7 @@ def run(
     deploy_lines = [f"index_build_or_load_s: {build_s:.2f}"]
     for nprobe in nprobes:
         t0 = time.perf_counter()
-        index.compile(batch, k, nprobe, mode=mode)  # recover path compiles on first call
+        index.compile(batch, k, nprobe, mode=mode, recover=recover)
         compile_s = time.perf_counter() - t0
         deploy_lines.append(f"compile_nprobe{nprobe}_s: {compile_s:.2f}")
         search = lambda q: index.search_device(q, k, nprobe, mode=mode,  # noqa: E731

@@ -65,9 +65,11 @@ def _variant_kernel(block_cluster, block_first, block_last, rows_valid,
         sv_ref[:] = jnp.full_like(sv_ref, fill)
         si_ref[:] = jnp.zeros_like(si_ref)
 
-    sc_ref[:] = scores
-
     def _select():
+        # Stored inside the gate, matching the production kernels (the
+        # ungated store charged 'full' a per-block VMEM store the
+        # production kernel no longer pays).
+        sc_ref[:] = scores
         tv, ti = binned_top2(sc_ref, j * blk, blk, nbins, fill)
         cand_v = jnp.concatenate([sv_ref[:], tv], axis=1)
         cand_i = jnp.concatenate([si_ref[:], ti], axis=1)
@@ -172,16 +174,18 @@ def main() -> None:
     sq = quantize.calibrate_scale(q)
     qi = jnp.clip(jnp.round(q / sq), -127, 127).astype(jnp.int8)
     qg = jnp.where((cq >= 0)[..., None], qi[jnp.clip(cq, 0)], jnp.int8(0))
-    # Chain/jitter in f32 (unique_variants adds float jitter, which would
-    # silently promote an int8 input to f32 and time the wrong kernel);
-    # the timed fn casts back to int8.
-    qg = jax.block_until_ready(qg.astype(jnp.float32))
+    # Keep qg int8: unique_variants row-rolls integer inputs (distinct
+    # bitwise), while a float-staged copy's sub-quantum jitter would be
+    # TRUNCATED AWAY by the astype(int8) inside the timed fn — every
+    # repeat would then feed a value-identical input, which the relay can
+    # serve from cache (the repo's own timing doctrine).
+    qg = jax.block_until_ready(qg.astype(jnp.int8))
 
     print(f"{args.dataset}: nblocks={nblocks} blk={args.pad_block} "
           f"qcap={args.qcap} k={args.k} nbins={args.nbins}")
     for variant in args.variants:
         fn = lambda x: _variant_scan(  # noqa: E731
-            x.astype(jnp.int8), a["vectors_t"], a["block_cluster"],
+            x, a["vectors_t"], a["block_cluster"],
             a["block_first"], a["block_last"], a["rows_valid"], args.k,
             args.pad_block, args.nbins, variant,
         )

@@ -25,7 +25,8 @@ from rag_on_edge_tpu.models import ivf as ivf_mod
 from rag_on_edge_tpu.ops import pallas_ivf, quantize
 
 
-def _stage_fns(index: "ivf_mod.IVFIndex", k: int, nprobe: int, qcap: int):
+def _stage_fns(index: "ivf_mod.IVFIndex", k: int, nprobe: int, qcap: int,
+               engine: str = "pallas"):
     """Cumulative-prefix jits; each returns one f32 leaf first (chainable)."""
     index._ensure_kernel_state()
     arrays = index._arrays
@@ -54,7 +55,15 @@ def _stage_fns(index: "ivf_mod.IVFIndex", k: int, nprobe: int, qcap: int):
             bias = None
             if index.metric == "l2":
                 alpha = 2.0 * alpha
-                bias = (arrays["vector_norms"] / alpha)[None, :]
+                # Per-block bias rows exactly like production: padded to
+                # the table's dummy-block region (the kernel's bias index
+                # map walks nblocks blocks, not n_padded columns).
+                nblocks = arrays["vectors_t"].shape[0]
+                norms = arrays["vector_norms"]
+                pad = nblocks * index.PAD_BLOCK - norms.shape[0]
+                if pad:
+                    norms = jnp.pad(norms, (0, pad))
+                bias = (norms / alpha).reshape(nblocks, 1, index.PAD_BLOCK)
             return qk, bias, probes, slot
         qg = jnp.where(routed, q[jnp.clip(cq, 0)], 0.0)
         qk = qg
@@ -67,17 +76,25 @@ def _stage_fns(index: "ivf_mod.IVFIndex", k: int, nprobe: int, qcap: int):
         return jnp.sum(qk.astype(jnp.float32), axis=(1, 2))
 
     def p_kernel(arrays, q):
+        # The PRODUCTION grouped kernel over the per-block routed table
+        # (engine='pallas'); the legacy per-cluster cluster_major_scan
+        # profiled here before is a different kernel with a different
+        # gather, which mis-attributed the '+join/rescore' delta.
         qk, bias, _, _ = route(arrays, q)
-        pv, pr = pallas_ivf.cluster_major_scan(
-            qk, arrays["vectors_t"], arrays["block_cluster"],
+        qb = qk[arrays["block_cluster"]]
+        pv, pr = pallas_ivf.cluster_major_scan_grouped(
+            qb, arrays["vectors_t"],
             arrays["block_first"], arrays["block_last"], arrays["rows_valid"],
-            k=2 * k, blk=index.PAD_BLOCK, bias=bias,
+            k=2 * k, blk=index.PAD_BLOCK, group=index.CM_GROUP, bias=bias,
         )
         return pv[:, :, :1], pr
 
     def p_full(arrays, q):
+        # engine='pallas' matches p_kernel's stage; pass --engine
+        # pallas_accum to profile the auto default end-to-end instead
+        # (its kernel stage has no standalone prefix here).
         return index._search_cluster_major_impl(
-            arrays, q, k, nprobe, qcap, engine="pallas", rescore=True
+            arrays, q, k, nprobe, qcap, engine=engine, rescore=True
         )
 
     names = ["coarse+topk", "+invert", "+route/gather", "+kernel", "+join/rescore"]
@@ -86,10 +103,11 @@ def _stage_fns(index: "ivf_mod.IVFIndex", k: int, nprobe: int, qcap: int):
 
 
 def profile(index, queries: np.ndarray, k: int, nprobe: int,
-            qcap: int | None = None, repeats: int = 6):
+            qcap: int | None = None, repeats: int = 6,
+            engine: str = "pallas"):
     b = queries.shape[0]
     qcap = qcap or index._auto_qcap(b, nprobe)
-    names, fns = _stage_fns(index, k, nprobe, qcap)
+    names, fns = _stage_fns(index, k, nprobe, qcap, engine=engine)
     rows, prev = [], 0.0
     for name, fn in zip(names, fns):
         qps = timing.measure_throughput(fn, [jnp.asarray(queries)], repeats=repeats)
@@ -109,6 +127,8 @@ def main() -> None:
     ap.add_argument("--nprobe", type=int, default=4)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--qcap", type=int, default=None)
+    ap.add_argument("--engine", default="pallas",
+                    choices=["pallas", "pallas_routed", "pallas_accum"])
     args = ap.parse_args()
 
     from rag_on_edge_tpu.utils.cache import enable_compilation_cache
@@ -123,7 +143,8 @@ def main() -> None:
     q = rng.permuted(
         np.resize(ds.queries, (args.batch, ds.queries.shape[1])), axis=0
     ).astype(np.float32)
-    rows = profile(index, q, args.k, args.nprobe, args.qcap)
+    rows = profile(index, q, args.k, args.nprobe, args.qcap,
+                   engine=args.engine)
     print(f"batch={args.batch} nprobe={args.nprobe} k={args.k} "
           f"dtype={args.dtype} qcap={args.qcap or index._auto_qcap(args.batch, args.nprobe)}")
     for name, cum, delta in rows:

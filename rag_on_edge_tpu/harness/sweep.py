@@ -121,6 +121,9 @@ def main(argv=None) -> None:
                          "(recall lever at fixed nprobe)")
     pi.add_argument("--outdir", default="results")
     args = p.parse_args(argv)
+    from rag_on_edge_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if args.cmd == "brute":
         sweep_bruteforce(args.dataset, tuple(args.batches), args.k, args.dtype, args.outdir)
     else:

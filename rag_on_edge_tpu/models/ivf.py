@@ -897,10 +897,19 @@ class IVFIndex:
 
         vectors = arrays["vectors"]
 
+        n_pad_rows = vectors.shape[0]
+
         def per_cluster(_, xs):
             boff, size, qg_c, cq_c = xs
+            # dynamic_slice CLAMPS an out-of-range start (boff + smax can
+            # exceed the array for every cluster within smax rows of the
+            # end) — derive rows/validity from the CLAMPED start, or the
+            # scores come from earlier clusters' vectors while the row
+            # labels claim this cluster's.  The cluster's true extent
+            # always fits the clamped window (size <= smax).
+            start = jnp.minimum(boff, jnp.int32(max(n_pad_rows - smax, 0)))
             slab = jax.lax.dynamic_slice(
-                vectors, (boff, jnp.int32(0)), (smax, self.dim)
+                vectors, (start, jnp.int32(0)), (smax, self.dim)
             )  # [S, D]
             scores = jax.lax.dot_general(
                 qg_c, slab, (((1,), (1,)), ((), ())),
@@ -908,11 +917,12 @@ class IVFIndex:
                 precision=jax.lax.Precision.HIGHEST
                 if slab.dtype == jnp.float32 else None,
             )  # [qcap, S]
-            rows = boff + arange_s
+            rows = start + arange_s
             if self.metric == "l2":
-                norms = jax.lax.dynamic_slice(arrays["vector_norms"], (boff,), (smax,))
+                norms = jax.lax.dynamic_slice(arrays["vector_norms"], (start,), (smax,))
                 scores = 2.0 * scores - norms[None, :]
-            valid = (arange_s < size)[None, :] & (cq_c >= 0)[:, None]
+            off = rows - boff
+            valid = ((off >= 0) & (off < size))[None, :] & (cq_c >= 0)[:, None]
             scores = jnp.where(valid, scores, _NEG_INF)
             kc = min(ck, smax)
             v, idx = topk.iterative_topk(scores, kc)
@@ -1362,9 +1372,10 @@ class IVFIndex:
         return ids_out, scores_out, total_cand / nq
 
     def compile(self, batch_size: int, k: int, nprobe: int, mode: str = "auto",
-                engine: str = "auto") -> None:
+                engine: str = "auto", recover: bool | None = None) -> None:
         dummy = jnp.zeros((batch_size, self.dim), dtype=jnp.float32)
-        jax.block_until_ready(self.search_device(dummy, k, nprobe, mode=mode, engine=engine))
+        jax.block_until_ready(self.search_device(dummy, k, nprobe, mode=mode,
+                                                 engine=engine, recover=recover))
 
     # ------------------------------------------------------------ persistence
 
