@@ -381,3 +381,38 @@ def test_bin_depth_and_rescore_k(small_data, ivf):
     np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
     assert recall_at_k(np.asarray(i1), np.asarray(i0), 10) == 1.0
     np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-5)
+
+
+def test_xla_engine_exact_on_skewed_clusters():
+    """Regression: the XLA cluster engine's dynamic_slice CLAMPS the slab
+    start for clusters within max_cluster_padded rows of the array end —
+    row labels must come from the clamped start too, or tail clusters
+    score earlier clusters' vectors under their own ids.  Needs strongly
+    heterogeneous padded cluster sizes (k-means on the uniform fixture
+    pads every cluster equally, hiding it), so the index is built
+    directly from crafted slabs."""
+    import numpy as np
+    from rag_on_edge_tpu.models.brute_force import BruteForceIndex
+    from rag_on_edge_tpu.models.ivf import IVFIndex
+
+    rng = np.random.default_rng(11)
+    sizes = [600, 40, 24]  # pad_block=128 -> padded 640/128/128, smax=640
+    centers = rng.uniform(30, 90, size=(3, 32))
+    parts = [np.clip(np.round(centers[c] + rng.normal(0, 12, (s, 32))), 0, 141)
+             for c, s in enumerate(sizes)]
+    vectors_reordered = np.concatenate(parts).astype(np.float32)
+    offsets = np.array([0, 600, 640, 664], np.int32)
+    reorder = np.arange(664, dtype=np.int32)
+    idx = IVFIndex(centers.astype(np.float32), vectors_reordered, offsets,
+                   reorder, metric="l2", pad_block=128)
+    # the last cluster's slab start (768) + smax (640) > n_padded (896)
+    assert idx.n_padded - idx.max_cluster_padded < int(offsets[2]) + 200
+
+    queries = vectors_reordered[::37][:16] + 1.0
+    bf = BruteForceIndex(vectors_reordered, metric="l2", dtype="fp32",
+                         select="exact")
+    ids_bf, s_bf = bf.search(queries, k=5)
+    ids, scores, _ = idx.search(queries, k=5, nprobe=3, mode="cluster",
+                                engine="xla")
+    np.testing.assert_allclose(np.asarray(scores), s_bf, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ids), ids_bf)
