@@ -348,3 +348,32 @@ def test_spill_stream_mode_no_duplicates(small_data):
     for row in ids:
         real = row[row >= 0]
         assert len(set(real.tolist())) == len(real)
+
+
+def test_spill_with_routing_recovery(small_data):
+    """Spilled index + tiny qcap (forced routing spill) + recovery passes:
+    the recovery kernel walk and the dedup must compose — every id unique,
+    recall unharmed vs the un-spilled recovered baseline."""
+    import jax.numpy as jnp
+
+    base, queries = small_data
+    gt = ground_truth(base, queries, 10, metric="l2", backend="numpy")
+    idx = IVFIndex.build(base, nlist=16, metric="l2", seed=42, max_iter=20,
+                         spill_eps=0.6)
+    q = jnp.asarray(queries)
+    _, ids, _ = idx.search_device(
+        q, k=10, nprobe=4, mode="cluster", qcap=2,
+        recover=True, recover_qcap=16, recover_passes=3,
+    )
+    ids = np.asarray(ids)
+    for row in ids:
+        real = row[row >= 0]
+        assert len(set(real.tolist())) == len(real)
+    assert int(np.asarray(idx.last_spill)) == 0  # recovery placed all pairs
+    r = recall_at_k(ids, gt, 10)
+    plain = IVFIndex.build(base, nlist=16, metric="l2", seed=42, max_iter=20)
+    _, ids_p, _ = plain.search_device(
+        q, k=10, nprobe=4, mode="cluster", qcap=2,
+        recover=True, recover_qcap=16, recover_passes=3,
+    )
+    assert r >= recall_at_k(np.asarray(ids_p), gt, 10) - 1e-9
