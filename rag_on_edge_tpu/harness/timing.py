@@ -110,7 +110,11 @@ def measure_throughput(fn, batches, warmup: int = 2, repeats: int = 10) -> float
             w0 = v0 + jnp.asarray(7.7, v0.dtype)
         else:
             w0 = jnp.roll(v0, 3, axis=-1)
-        run_chain([v0, w0][:min(warmup, 2)])
+        # A 2-element chain exercises BOTH call forms (plain first call and
+        # chained v+carry call); warming with a single element would leave
+        # the chained form to compile inside the timed region.  warmup=0
+        # remains the explicit skip.
+        run_chain([v0, w0])
     timed = variants[n:]
     n_queries = sum(int(b.shape[0]) for b in timed)
     t0 = time.perf_counter()

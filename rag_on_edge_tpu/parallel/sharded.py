@@ -289,11 +289,12 @@ class ShardedBruteForceIndex:
 
 
 def _memo_last(fn):
-    """Memoize the most recent shard's result.  The _put_sharded loops
-    below all iterate shards in the same order, so a 1-entry cache lets
-    several arrays share one expensive per-shard slice (block tables,
-    the compact fp32 copy) without ever holding more than one shard's
-    worth of host memory."""
+    """Memoize the most recent shard's result.  Effective ONLY under the
+    shard-outer placement loop (:func:`_put_sharded_multi`), where every
+    consumer of shard s runs before the loop advances to s+1 — a 1-entry
+    cache then shares expensive per-shard slices (block tables, the
+    compact fp32 copy) without ever holding more than one shard's worth
+    of host memory."""
     cache: dict = {}
 
     def wrapped(s):
@@ -325,6 +326,35 @@ def _put_sharded(mesh, axis: str, shape, dtype, shard_fn):
         assert arr.shape == tuple(shape[1:]), (arr.shape, shape)
         bufs.append(jax.device_put(arr[None], d))
     return jax.make_array_from_single_device_arrays(tuple(shape), sharding, bufs)
+
+
+def _put_sharded_multi(mesh, axis: str, specs: dict) -> dict:
+    """Assemble several global [S, ...] arrays with ONE shard-outer loop.
+
+    ``specs`` maps name -> (shape, dtype, shard_fn).  Iterating shards on
+    the OUTSIDE is what makes :func:`_memo_last` effective: producers
+    shared by several arrays (block tables feed 4, the compact fp32 slice
+    feeds 2) are computed once per shard and hit the 1-entry cache for
+    every consumer before the loop moves to shard s+1.  (An array-outer
+    loop — one `_put_sharded` per array — evicts the cache between
+    arrays, recomputing tables 4x and the ~0.6 GB 10M compact copy 2x
+    per shard.)  Peak host memory remains one shard's slices.
+    """
+    devices = list(mesh.devices.ravel())
+    bufs: dict = {name: [] for name in specs}
+    for s, d in enumerate(devices):
+        for name, (shape, dtype, fn) in specs.items():
+            assert shape[0] == len(devices), name
+            arr = np.asarray(fn(s), dtype=dtype)
+            assert arr.shape == tuple(shape[1:]), (name, arr.shape, shape)
+            bufs[name].append(jax.device_put(arr[None], d))
+    out = {}
+    for name, (shape, dtype, fn) in specs.items():
+        sharding = NamedSharding(mesh, P(axis, *([None] * (len(shape) - 1))))
+        out[name] = jax.make_array_from_single_device_arrays(
+            tuple(shape), sharding, bufs[name]
+        )
+    return out
 
 
 def _partition_clusters(offsets: np.ndarray, n_shards: int) -> list[tuple[int, int]]:
@@ -417,15 +447,7 @@ class ShardedIVFIndex:
             return out
 
         dt = np.float32
-        vecs = _put_sharded(
-            mesh, axis, (S, rows_max, self.dim),
-            jnp.bfloat16 if self.dtype == "bf16" else np.float32,
-            lambda s: cut(s, 0, index._vectors_np, dt),
-        )
-        reorder = _put_sharded(
-            mesh, axis, (S, rows_max), np.int32,
-            lambda s: cut(s, -1, index._reorder_np, np.int32),
-        )
+        vec_cut = _memo_last(lambda s: cut(s, 0, index._vectors_np, dt))
 
         def locals_for(s):
             lo, hi = bounds[s]
@@ -436,24 +458,24 @@ class ShardedIVFIndex:
             szs[lo:hi] = sizes[lo:hi]
             return offs, szs
 
-        offs_local = _put_sharded(mesh, axis, (S, self.nlist), np.int32,
-                                  lambda s: locals_for(s)[0])
-        sizes_local = _put_sharded(mesh, axis, (S, self.nlist), np.int32,
-                                   lambda s: locals_for(s)[1])
-        arrays = {
-            "vectors": vecs,
-            "reorder": reorder,
-            "offs": offs_local,
-            "sizes": sizes_local,
+        locals_for = _memo_last(locals_for)
+        specs = {
+            "vectors": (
+                (S, rows_max, self.dim),
+                jnp.bfloat16 if self.dtype == "bf16" else np.float32,
+                vec_cut,
+            ),
+            "reorder": ((S, rows_max), np.int32,
+                        lambda s: cut(s, -1, index._reorder_np, np.int32)),
+            "offs": ((S, self.nlist), np.int32, lambda s: locals_for(s)[0]),
+            "sizes": ((S, self.nlist), np.int32, lambda s: locals_for(s)[1]),
         }
         if self.metric == "l2":
-            arrays["vector_norms"] = _put_sharded(
-                mesh, axis, (S, rows_max), np.float32,
-                lambda s: np.sum(
-                    cut(s, 0, index._vectors_np, dt).astype(np.float32) ** 2, axis=1
-                ),
+            specs["vector_norms"] = (
+                (S, rows_max), np.float32,
+                lambda s: np.sum(vec_cut(s).astype(np.float32) ** 2, axis=1),
             )
-        self._qm_arrays = arrays
+        self._qm_arrays = _put_sharded_multi(mesh, axis, specs)
 
     # ------------------------------------------------- cluster-major (pallas)
 
@@ -563,7 +585,9 @@ class ShardedIVFIndex:
         # it (tables feeds 4 arrays, the compact fp32 slice feeds 2,
         # offset_maps feeds 2) — at the 10M flagship each extra compact
         # call is a ~0.6 GB host copy and each tables call a full
-        # build_block_tables pass.
+        # build_block_tables pass.  Sharing requires the SHARD-outer
+        # placement loop (`_put_sharded_multi`): consumers of one shard's
+        # producer run back-to-back, so the 1-entry memo hits.
         tables = _memo_last(tables)
         offset_maps = _memo_last(offset_maps)
         compact_f32 = _memo_last(
@@ -571,41 +595,27 @@ class ShardedIVFIndex:
         )
 
         self._cm_base_scale = getattr(index, "_base_scale", None)
-        arrays = {
-            "vectors_t": _put_sharded(
-                mesh, axis, (S, nblocks_max, d_aug, blk), src_vt.dtype, vt_slice
-            ),
-            "vectors_c": _put_sharded(
-                mesh, axis, (S, rows_c_max, self.dim), np.float32, compact_f32,
-            ),
-            "reorder_c": _put_sharded(
-                mesh, axis, (S, rows_c_max), np.int32,
-                lambda s: compact(s, index._reorder_np, -1, np.int32),
-            ),
-            "norms_c": _put_sharded(
-                mesh, axis, (S, rows_c_max), np.float32,
-                lambda s: np.sum(compact_f32(s) ** 2, axis=1),
-            ),
-            "po": _put_sharded(mesh, axis, (S, self.nlist), np.int32,
-                               lambda s: offset_maps(s)[0]),
-            "co": _put_sharded(mesh, axis, (S, self.nlist), np.int32,
-                               lambda s: offset_maps(s)[1]),
-            "cluster_shard": jnp.asarray(cluster_shard),
-            "sizes": jnp.asarray(sizes),
+        specs = {
+            "vectors_t": ((S, nblocks_max, d_aug, blk), src_vt.dtype, vt_slice),
+            "vectors_c": ((S, rows_c_max, self.dim), np.float32, compact_f32),
+            "norms_c": ((S, rows_c_max), np.float32,
+                        lambda s: np.sum(compact_f32(s) ** 2, axis=1)),
+            "reorder_c": ((S, rows_c_max), np.int32,
+                          lambda s: compact(s, index._reorder_np, -1, np.int32)),
+            "po": ((S, self.nlist), np.int32, lambda s: offset_maps(s)[0]),
+            "co": ((S, self.nlist), np.int32, lambda s: offset_maps(s)[1]),
         }
-        for name, fn in [("bc", 0), ("bf", 1), ("bl", 2), ("rv", 3)]:
-            arrays[name] = _put_sharded(
-                mesh, axis, (S, nblocks_max), np.int32,
-                lambda s, _i=fn: tables(s)[_i],
-            )
+        for name, _i in [("bc", 0), ("bf", 1), ("bl", 2), ("rv", 3)]:
+            specs[name] = ((S, nblocks_max), np.int32,
+                           lambda s, _i=_i: tables(s)[_i])
         if self.dtype == "int8" and self.metric == "l2":
-            arrays["norms_pad"] = _put_sharded(
-                mesh, axis, (S, rows_max), np.float32, norms_padded
-            )
+            specs["norms_pad"] = ((S, rows_max), np.float32, norms_padded)
         else:
-            arrays["norms_pad"] = _put_sharded(
-                mesh, axis, (S, 8), np.float32, lambda s: np.zeros(8, np.float32)
-            )
+            specs["norms_pad"] = ((S, 8), np.float32,
+                                  lambda s: np.zeros(8, np.float32))
+        arrays = _put_sharded_multi(mesh, axis, specs)
+        arrays["cluster_shard"] = jnp.asarray(cluster_shard)
+        arrays["sizes"] = jnp.asarray(sizes)
         self._cm_arrays = arrays
 
     def _make_cluster_major_fn(self):

@@ -240,7 +240,10 @@ class BatchingExecutor:
         bs = self.batch_size
         while True:
             if queue:
-                oldest = queue[0][2]
+                try:
+                    oldest = queue[0][2]
+                except IndexError:
+                    continue  # raced-close withdrawal emptied the queue
                 # Singleton-dominated fast path: len == rows.  Once any
                 # group submit has been seen, re-count rows exactly —
                 # group rows would otherwise only launch on deadline
@@ -250,13 +253,25 @@ class BatchingExecutor:
                 )
                 expired = (time.perf_counter() - oldest) >= self.max_delay_s
                 if full or expired or self._closed:
+                    # Pop-then-check (not peek-then-pop): submit()'s raced-
+                    # close withdrawal calls deque.remove() concurrently, so
+                    # a peeked head may not be the item popleft() returns —
+                    # accounting rows from the POPPED item can never
+                    # overflow the batch buffer.
                     taken, rows = [], 0
                     while queue:
-                        item = queue[0]
+                        try:
+                            item = queue.popleft()
+                        except IndexError:
+                            break  # raced withdrawal drained it
                         m = item[1]._m or 1
                         if rows + m > bs:
+                            # Doesn't fit: put it back.  The dispatcher is
+                            # the only left-side consumer, so appendleft
+                            # restores FIFO order safely.
+                            queue.appendleft(item)
                             break
-                        taken.append(queue.popleft())
+                        taken.append(item)
                         rows += m
                     if taken:
                         return taken
@@ -275,7 +290,13 @@ class BatchingExecutor:
                 self._wake.clear()
                 if queue or self._closed:
                     continue
-                self._wake.wait()
+                # BOUNDED wait: submit() only sets _wake at its decision
+                # points (len==1 / full / group), so two concurrent
+                # singleton submits into an empty queue can both read
+                # len==2 and neither signals — an untimed wait here would
+                # strand them until a later full batch.  The timeout makes
+                # the deadline policy self-healing at max_delay granularity.
+                self._wake.wait(timeout=self.max_delay_s)
 
     def _dispatch_loop(self) -> None:
         while True:

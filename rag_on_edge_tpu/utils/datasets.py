@@ -93,15 +93,22 @@ def _chunk_topk(scores: np.ndarray, ids: np.ndarray, k: int) -> tuple[np.ndarray
     (integer-valued corpora — synthetic and real SIFT both — tie often),
     disagreeing with the cpu_oracle and the lexsort fallback at rank k.
     The f64 composite key ``score·2²⁵ − id`` makes the partition itself
-    tie-exact: scores here are integer-valued with |s|·2²⁵ ≪ 2⁵³ and
-    ids < 2²⁵, so the key is exact and strictly ordered by (score desc,
-    id asc).  Non-integer corpora tie with probability ~0.
+    tie-exact — but ONLY for integer-valued scores: the id term then sits
+    strictly below the smallest possible score gap (1 unit), and with
+    |s|·2²⁵ ≪ 2⁵³ and ids < 2²⁵ the key is exact and strictly ordered by
+    (score desc, id asc).  For NON-integer scores the id term can exceed
+    a genuine score gap (e.g. normalized-embedding corpora: 0.75 at id
+    100 would outrank 0.90 at id 9M) — those take the score-only
+    partition + lexsort branch instead, where ties follow the partition
+    but distinct scores are always ordered correctly.
     """
     k = min(k, scores.shape[1])
-    if ids.size and int(ids.max()) >= (1 << 25):
-        # >33M-row corpus: the composite key can no longer separate a
-        # 1-unit score step from the id term — fall back to score-only
-        # partition + lexsort (boundary ties then follow the partition).
+    integral = bool(np.all(scores == np.rint(scores)))
+    if not integral or (ids.size and int(ids.max()) >= (1 << 25)):
+        # Non-integer scores (the composite key would mis-order real
+        # gaps smaller than delta_id/2²⁵) or a >33M-row corpus (the key
+        # can no longer separate a 1-unit score step from the id term):
+        # score-only partition + lexsort.
         if k < scores.shape[1]:
             part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
             scores = np.take_along_axis(scores, part, axis=1)

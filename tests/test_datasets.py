@@ -49,3 +49,25 @@ def test_load_dataset_cache(tmp_path):
     ds2 = datasets.load_dataset("unit", root=str(tmp_path), gt_k=10)
     np.testing.assert_array_equal(ds.base, ds2.base)
     np.testing.assert_array_equal(ds.ground_truth_ip, ds2.ground_truth_ip)
+
+
+def test_chunk_topk_non_integer_scores_ordered_by_score():
+    """The f64 composite key (score*2^25 - id) mis-orders genuinely
+    different float scores when the gap is below delta_id/2^25 — e.g.
+    0.75 at id 100 must NOT outrank 0.90 at id 9M.  Non-integer corpora
+    must take the score-only branch."""
+    scores = np.array([[0.75, 0.90, 0.10]], dtype=np.float32)
+    ids = np.array([[100, 9_000_000, 5]], dtype=np.int64)
+    top_scores, top_ids = datasets._chunk_topk(scores, ids, 2)
+    np.testing.assert_array_equal(top_ids[0], [9_000_000, 100])
+    np.testing.assert_allclose(top_scores[0], [0.90, 0.75])
+
+
+def test_chunk_topk_integer_scores_tie_break_by_id():
+    """Integer-valued corpora keep the tie-exact composite key: equal
+    scores order by ascending id, including through the partition."""
+    scores = np.array([[5.0, 7.0, 7.0, 7.0, 1.0]], dtype=np.float32)
+    ids = np.array([[40, 30, 10, 20, 0]], dtype=np.int64)
+    top_scores, top_ids = datasets._chunk_topk(scores, ids, 3)
+    np.testing.assert_array_equal(top_ids[0], [10, 20, 30])
+    np.testing.assert_allclose(top_scores[0], [7.0, 7.0, 7.0])
