@@ -1,27 +1,113 @@
 #!/usr/bin/env python
-"""Driver benchmark: one JSON line with the headline metric.
+"""Driver benchmark: prints the headline JSON line the moment the headline
+section completes, then an enriched final line after the secondaries.
 
 Headline: SIFT-1M IVF sustained throughput (B=8192, nprobe=4, k=10,
-int8 cluster-major Pallas kernel + fp32 rescore, recall@10 ≈ 0.995) —
-the frontier config of BASELINE.json's north star ("≥91% recall@1 …
+int8 cluster-major Pallas accum kernel + fp32 rescore, recall@10 ≈ 0.995)
+— the frontier config of BASELINE.json's north star ("≥91% recall@1 …
 at ≥100K QPS per v5e chip"); ``vs_baseline`` is QPS / that 100K target.
 This metric is DEVICE-bound: one dispatch scores 8192 queries, so the
 axon relay's per-dispatch sync cost (2.5-30 ms, varies run to run) is
-amortized away and the number is stable across tunnel weather —
-measured 327K (bad weather) vs 332K (good) on the same code.
+amortized away and the number is stable across tunnel weather.
 
-Secondary fields cover the reference's flagship SIFT-small INT8
-brute-force config (5208 QPS on Snapdragon 8 Gen 2 HTP, README.md:143):
-the 64-deep stream sustains 70K-559K QPS depending entirely on relay
-sync cost (device time per batch-32 search is ~15-35 µs) — report them,
-but never let them be the headline.
+Survivability (the round-2 driver run timed out at >25 min and erased
+every number because the old script printed once at exit):
+
+- The headline JSON line is printed + flushed IMMEDIATELY when the 1M
+  IVF section completes; the driver tails output, so a later timeout or
+  relay outage can no longer destroy an already-measured headline.
+  (Reference analog: metrics.txt is written incrementally per run,
+  ``main.cpp:320-390`` — never only at process exit.)
+- A wall-clock budget (``RAG_EDGE_BENCH_BUDGET_S``, default 900 s) is
+  checked before each secondary section; when exceeded, remaining
+  sections are skipped and whatever was measured is emitted.
+- ``rag_on_edge_tpu.harness.warmup`` pre-builds the datasets/indexes and
+  pre-compiles every program this script runs into the persistent cache,
+  so the driver run pays no cold remote compiles.
+
+Secondary sections: the EXACT-contract SIFT-1M brute force (default
+accum + fp32 rescore — the like-for-like comparable to the reference's
+exact-by-construction brute force, ``main.cpp:36-57``) and the
+reference's flagship SIFT-small INT8 config (5208 QPS on Snapdragon
+8 Gen 2 HTP, README.md:143).  The SIFT-small stream numbers swing with
+relay sync cost (70K-637K across identical code) — report, never
+headline.
 """
 
 import json
+import os
 import sys
+import time
 
 REFERENCE_QPS = 5208.0   # reference README.md:143 (batch=32 INT8 brute force)
 TARGET_IVF_QPS = 100_000.0  # BASELINE.json north star, per v5e chip
+BUDGET_S = float(os.environ.get("RAG_EDGE_BENCH_BUDGET_S", "900"))
+
+_T0 = time.monotonic()
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.monotonic() - _T0)
+
+
+def _emit(out: dict) -> None:
+    print(json.dumps(out), flush=True)
+
+
+def _ivf_1m(batch: int = 8192, nprobe: int = 4, k: int = 10):
+    """SIFT-1M IVF capacity point — see RESULTS.md batch-scaling table."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rag_on_edge_tpu.harness import timing
+    from rag_on_edge_tpu.harness.bench_ivf import build_or_load_index
+    from rag_on_edge_tpu.utils.datasets import load_dataset
+    from rag_on_edge_tpu.utils.metrics import recall_at_k
+
+    ds = load_dataset("sift", gt_k=max(k, 10))
+    # ONE canonical 1M index (build_or_load_index owns the config and the
+    # on-disk cache): BENCH_rNN and the harness/RESULTS.md sweeps quote
+    # the same artifact.
+    idx = build_or_load_index(ds, nlist=1024, metric="l2", dtype="int8",
+                              pad_block=2048)
+    # Recall over the distinct query rows the batch actually holds
+    # (np.resize repeats rows when batch > nq; truncates when batch < nq).
+    nr = min(ds.queries.shape[0], batch)
+    qs = np.resize(ds.queries, (batch, ds.queries.shape[1]))
+    gt = ds.ground_truth_l2
+    f = lambda x: idx.search_device(x, k, nprobe, mode="cluster")  # noqa: E731
+    _, ids, _ = jax.block_until_ready(f(jnp.asarray(qs)))
+    recall = recall_at_k(np.asarray(ids)[:nr], gt[:nr], k)
+    recall1 = recall_at_k(np.asarray(ids)[:nr, :1], gt[:nr, :1], 1)
+    batches = [jnp.asarray(b) for b in timing.unique_variants([qs], copies=4)]
+    qps = timing.measure_throughput(f, batches, repeats=3)
+    return round(qps, 1), round(float(recall), 4), round(float(recall1), 4)
+
+
+def _brute_1m_exact(batch: int = 8192, k: int = 10):
+    """EXACT-contract brute force on SIFT-1M: the class default
+    (accum engine + fp32 rescore, ``models/brute_force.py``) — the
+    like-for-like number against the reference's exact brute force."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rag_on_edge_tpu.harness import timing
+    from rag_on_edge_tpu.models.brute_force import BruteForceIndex
+    from rag_on_edge_tpu.utils.datasets import load_dataset
+    from rag_on_edge_tpu.utils.metrics import recall_at_k
+
+    ds = load_dataset("sift", gt_k=max(k, 10))
+    index = BruteForceIndex(ds.base, metric="l2", dtype="int8")  # defaults
+    nr = min(ds.queries.shape[0], batch)
+    qs = np.resize(ds.queries, (batch, ds.queries.shape[1]))
+    f = lambda x: index.search_device(x, k)  # noqa: E731
+    _, ids = jax.block_until_ready(f(jnp.asarray(qs)))
+    recall = recall_at_k(np.asarray(ids)[:nr], ds.ground_truth_l2[:nr], k)
+    batches = [jnp.asarray(b) for b in timing.unique_variants([qs], copies=4)]
+    qps = timing.measure_throughput(f, batches, repeats=3)
+    return round(qps, 1), round(float(recall), 4)
 
 
 def _stream_qps(micro_batches: int = 16, batch: int = 32, k: int = 5) -> float:
@@ -48,34 +134,6 @@ def _stream_qps(micro_batches: int = 16, batch: int = 32, k: int = 5) -> float:
     return qps_per_row * batch  # rows are micro-batches of `batch` queries
 
 
-def _ivf_1m_qps(batch: int = 8192, nprobe: int = 4, k: int = 10):
-    """SIFT-1M IVF capacity point — see RESULTS.md batch-scaling table."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from rag_on_edge_tpu.harness import timing
-    from rag_on_edge_tpu.harness.bench_ivf import build_or_load_index
-    from rag_on_edge_tpu.utils.datasets import load_dataset
-    from rag_on_edge_tpu.utils.metrics import recall_at_k
-
-    ds = load_dataset("sift", gt_k=k)
-    # ONE canonical 1M index (build_or_load_index owns the config and the
-    # on-disk cache): BENCH_rNN and the harness/RESULTS.md sweeps quote
-    # the same artifact.
-    idx = build_or_load_index(ds, nlist=1024, metric="l2", dtype="int8",
-                              pad_block=2048)
-    nq = ds.queries.shape[0]
-    qs = np.resize(ds.queries, (batch, ds.queries.shape[1]))
-    gt = ds.ground_truth_l2
-    f = lambda x: idx.search_device(x, k, nprobe, mode="cluster")  # noqa: E731
-    _, ids, _ = jax.block_until_ready(f(jnp.asarray(qs)))
-    recall = recall_at_k(np.asarray(ids)[:nq], gt[:nq], k)
-    batches = [jnp.asarray(b) for b in timing.unique_variants([qs], copies=4)]
-    qps = timing.measure_throughput(f, batches, repeats=3)
-    return round(qps, 1), round(float(recall), 4)
-
-
 def main() -> None:
     from rag_on_edge_tpu.utils.cache import enable_compilation_cache
 
@@ -88,35 +146,55 @@ def main() -> None:
         "vs_baseline": None,
     }
     try:
-        ivf_qps, ivf_recall = _ivf_1m_qps()
+        ivf_qps, ivf_recall, ivf_recall1 = _ivf_1m()
         out["value"] = ivf_qps
         out["vs_baseline"] = round(ivf_qps / TARGET_IVF_QPS, 3)
         out["sift1m_ivf_recall_at_10"] = ivf_recall
+        out["sift1m_ivf_recall_at_1"] = ivf_recall1
     except Exception as e:  # keep the JSON line alive no matter what
         out["error_ivf_1m"] = repr(e)
 
-    # Secondary: the reference's flagship SIFT-small config (relay-weather
-    # sensitive — see module docstring).
-    try:
-        from rag_on_edge_tpu.harness.bench_bruteforce import run
+    # Flush the headline NOW — a later timeout/outage can't erase it.
+    if out["value"] is not None:
+        _emit(out)
 
-        r = run(dataset="siftsmall", batch=32, k=5, dtype="int8",
-                repeats=50, outdir=None, quiet=True)
-        stream64 = _stream_qps(64)
-        out["siftsmall_bruteforce_stream_qps_b32x64"] = round(stream64, 1)
-        out["siftsmall_vs_reference_5208"] = round(stream64 / REFERENCE_QPS, 3)
-        out["siftsmall_recall_at_5"] = round(r["recall"], 4)
-        out["single_dispatch_qps_b32"] = round(r["qps"], 1)
-        out["batch_latency_ms_p50"] = round(r["latency"].p50, 4)
-    except Exception as e:
-        out["error_siftsmall"] = repr(e)
+    # Secondary 1: exact-contract SIFT-1M brute force (class defaults).
+    if _remaining() > 120:
+        try:
+            bq, br = _brute_1m_exact()
+            out["sift1m_brute_exact_qps_b8192"] = bq
+            out["sift1m_brute_exact_recall_at_10"] = br
+        except Exception as e:
+            out["error_brute_1m"] = repr(e)
+    else:
+        out["skipped_brute_1m"] = "budget"
+
+    # Secondary 2: the reference's flagship SIFT-small config
+    # (relay-weather sensitive — see module docstring).
+    if _remaining() > 90:
+        try:
+            from rag_on_edge_tpu.harness.bench_bruteforce import run
+
+            r = run(dataset="siftsmall", batch=32, k=5, dtype="int8",
+                    repeats=50, outdir=None, quiet=True)
+            stream64 = _stream_qps(64)
+            out["siftsmall_bruteforce_stream_qps_b32x64"] = round(stream64, 1)
+            out["siftsmall_vs_reference_5208"] = round(stream64 / REFERENCE_QPS, 3)
+            out["siftsmall_recall_at_5"] = round(r["recall"], 4)
+            out["single_dispatch_qps_b32"] = round(r["qps"], 1)
+            out["batch_latency_ms_p50"] = round(r["latency"].p50, 4)
+        except Exception as e:
+            out["error_siftsmall"] = repr(e)
+    else:
+        out["skipped_siftsmall"] = "budget"
 
     if out["value"] is None and "siftsmall_bruteforce_stream_qps_b32x64" in out:
         # Fallback headline if the 1M section failed.
         out["metric"] = "siftsmall_int8_bruteforce_sustained_qps_b32"
         out["value"] = out["siftsmall_bruteforce_stream_qps_b32x64"]
         out["vs_baseline"] = out["siftsmall_vs_reference_5208"]
-    print(json.dumps(out))
+    out["bench_wall_s"] = round(time.monotonic() - _T0, 1)
+    _emit(out)
 
 
 if __name__ == "__main__":

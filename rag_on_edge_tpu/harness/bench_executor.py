@@ -4,11 +4,24 @@ Measures what a caller of a search SERVICE sees — per-request Futures,
 micro-batching, pipelined device dispatch — as opposed to the device
 capacity numbers of bench_ivf (pre-batched, no serving glue).  The
 reference has no serving layer; its closest analog is the per-query
-`executeRaw` loop (``main.cpp:155-193``).
+`executeRaw` loop (``main.cpp:155-193``), and its per-batch latency
+percentiles (``main.cpp:281-318``) are the schema the open-loop table
+mirrors.
+
+Two protocols:
+
+- **saturated** (default): all requests submitted up front.  The QPS is
+  the serving CAPACITY; the latency percentiles are queue depth, not
+  service time — never quote them as latency.
+- **open loop** (``--open-loop``): Poisson arrivals at fractions of the
+  measured capacity (``--loads``).  Latency is measured from each
+  request's SCHEDULED arrival to its completion, so producer lag counts
+  as queueing (the honest open-loop convention) — this is the
+  latency-vs-offered-load curve a capacity number says nothing about.
 
 Usage:
     python -m rag_on_edge_tpu.harness.bench_executor --dataset sift \
-        --batch 2048 --nprobe 4 --requests 20000
+        --batch 2048 --nprobe 4 --requests 20000 [--open-loop]
 """
 
 from __future__ import annotations
@@ -40,23 +53,34 @@ def run(dataset: str = "sift", batch: int = 2048, nprobe: int = 4, k: int = 10,
     nq = ds.queries.shape[0]
     reqs = np.resize(ds.queries, (requests, ds.queries.shape[1])).astype(np.float32)
 
+    import gc
+
     with BatchingExecutor(fn, dim=ds.base.shape[1], batch_size=batch,
                           max_delay_ms=max_delay_ms, inflight=inflight) as ex:
         # Warm the pipeline (compile happens on the first dispatch).
         ex.submit(reqs[0]).result(timeout=600)
         t_submit = np.empty(requests)
         futs = []
-        t0 = time.perf_counter()
-        for i in range(requests):
-            t_submit[i] = time.perf_counter()
-            futs.append(ex.submit(reqs[i]))
-        t_done = np.empty(requests)
-        ids = np.empty((requests, k), np.int32)
-        for i, f in enumerate(futs):
-            r = f.result(timeout=600)
-            t_done[i] = time.perf_counter()
-            ids[i] = np.asarray(r[1])
-        wall = time.perf_counter() - t0
+        # GC freeze for the timed region (see run_open_loop: one gen-2
+        # pass measured as a ~200 ms pipeline stall).
+        gc.collect()
+        gc.freeze()
+        gc.disable()
+        try:
+            t0 = time.perf_counter()
+            for i in range(requests):
+                t_submit[i] = time.perf_counter()
+                futs.append(ex.submit(reqs[i]))
+            t_done = np.empty(requests)
+            ids = np.empty((requests, k), np.int32)
+            for i, f in enumerate(futs):
+                r = f.result(timeout=600)
+                t_done[i] = time.perf_counter()
+                ids[i] = np.asarray(r[1])
+            wall = time.perf_counter() - t0
+        finally:
+            gc.enable()
+            gc.unfreeze()
     qps = requests / wall
     lat = metrics.LatencyStats.from_samples(((t_done - t_submit) * 1e3).tolist())
     # Recall over the requests actually issued (requests < nq would
@@ -79,6 +103,141 @@ def run(dataset: str = "sift", batch: int = 2048, nprobe: int = 4, k: int = 10,
     return out
 
 
+def run_open_loop(ex, reqs: np.ndarray, rate_qps: float, max_delay_ms: float,
+                  seed: int = 0) -> dict:
+    """One open-loop run: Poisson arrivals at ``rate_qps`` through an
+    already-warm executor.  Latency for request i = completion − its
+    SCHEDULED arrival (includes any producer lag — at offered loads the
+    producer can't sustain, the lag IS queueing delay and must count).
+
+    Pacing: sleep when >1 ms ahead of schedule, YIELDING spins
+    (``sleep(0)``) for the last stretch — a pure-Python spin would hold
+    the GIL for a full switch interval (default 5 ms) and starve the
+    dispatcher/collector on this 1-core host, quantizing every measured
+    latency to GIL-switch multiples.  The switch interval is dropped to
+    1 ms for the run for the same reason."""
+    import gc
+    import sys as _sys
+    import threading
+
+    n = len(reqs)
+    rng = np.random.default_rng(seed)
+    arrivals = np.cumsum(rng.exponential(1.0 / rate_qps, size=n))
+    t_done = np.empty(n)
+    futs: list = [None] * n
+    done_count = [0]
+
+    def collect():
+        # Futures resolve batch-at-a-time in FIFO order; waiting in submit
+        # order wakes once per batch and stamps its members back-to-back.
+        i = 0
+        while i < n:
+            f = futs[i]
+            if f is None:  # producer hasn't minted it yet
+                time.sleep(1e-4)
+                continue
+            f.result(timeout=600)
+            t_done[i] = time.perf_counter()
+            i += 1
+        done_count[0] = i
+
+    col = threading.Thread(target=collect)
+    col.start()
+    perf = time.perf_counter
+    sleep = time.sleep
+    submit = ex.submit
+    old_switch = _sys.getswitchinterval()
+    _sys.setswitchinterval(1e-3)
+    # Cyclic GC off for the timed region (standard serving practice —
+    # gc.freeze after warmup): a gen-2 collection over the request
+    # objects measured as ONE ~200 ms pipeline stall (~3K requests late
+    # in a single contiguous span).  Executor objects are cycle-free, so
+    # refcounting reclaims everything; collect+freeze keeps the heap we
+    # can't avoid out of future scans.
+    gc.collect()
+    gc.freeze()
+    gc.disable()
+    try:
+        t0 = perf()
+        for i in range(n):
+            target = t0 + arrivals[i]
+            while True:
+                lag = target - perf()
+                if lag <= 0:
+                    break
+                sleep(lag - 5e-4 if lag > 1e-3 else 0)
+            futs[i] = submit(reqs[i])
+        col.join()
+    finally:
+        _sys.setswitchinterval(old_switch)
+        gc.enable()
+        gc.unfreeze()
+    wall = time.perf_counter() - t0
+    lat_ms = (t_done - (t0 + arrivals)) * 1e3
+    lat = metrics.LatencyStats.from_samples(lat_ms.tolist())
+    achieved = n / wall
+    return {
+        "offered_qps": round(rate_qps, 1),
+        "achieved_qps": round(achieved, 1),
+        "latency_ms": {"mean": round(lat.mean, 3), "p50": round(lat.p50, 3),
+                       "p95": round(lat.p95, 3), "p99": round(lat.p99, 3)},
+    }
+
+
+def run_load_curve(dataset: str = "sift", batch: int = 4096, nprobe: int = 4,
+                   k: int = 10, requests: int = 20000,
+                   max_delay_ms: float = 5.0, inflight: int = 8,
+                   loads: tuple = (0.25, 0.5, 0.8), capacity: float | None = None,
+                   quiet: bool = False) -> dict:
+    """Latency-vs-offered-load table: a saturated run measures capacity,
+    then one open-loop run per load fraction."""
+    from rag_on_edge_tpu.harness.bench_ivf import build_or_load_index
+
+    ds = load_dataset(dataset, gt_k=k)
+    pad_block = 2048 if ds.base.shape[0] >= 500_000 else None
+    index = build_or_load_index(ds, nlist=None, metric="l2", dtype="int8",
+                                pad_block=pad_block)
+    index.compile(batch, k, nprobe, mode="cluster")
+    fn = lambda q: index.search_device(q, k, nprobe, mode="cluster")  # noqa: E731
+    reqs = np.resize(ds.queries, (requests, ds.queries.shape[1])).astype(np.float32)
+
+    out = {"dataset": dataset, "batch": batch, "nprobe": nprobe, "k": k,
+           "inflight": inflight, "max_delay_ms": max_delay_ms, "curve": []}
+    with BatchingExecutor(fn, dim=ds.base.shape[1], batch_size=batch,
+                          max_delay_ms=max_delay_ms, inflight=inflight) as ex:
+        ex.submit(reqs[0]).result(timeout=600)
+        if capacity is None:
+            # Saturated capacity probe on the same executor (GC frozen —
+            # see run_open_loop).
+            import gc
+
+            gc.collect(), gc.freeze(), gc.disable()
+            try:
+                t0 = time.perf_counter()
+                futs = [ex.submit(reqs[i]) for i in range(requests)]
+                for f in futs:
+                    f.result(timeout=600)
+                capacity = requests / (time.perf_counter() - t0)
+            finally:
+                gc.enable(), gc.unfreeze()
+        out["capacity_qps"] = round(capacity, 1)
+        if not quiet:
+            print(f"[executor open-loop] capacity={capacity:,.0f} QPS "
+                  f"(B={batch} np={nprobe} inflight={inflight})", flush=True)
+        for frac in loads:
+            row = run_open_loop(ex, reqs, frac * capacity, max_delay_ms)
+            row["load"] = frac
+            out["curve"].append(row)
+            if not quiet:
+                lm = row["latency_ms"]
+                print(f"[executor open-loop] load={frac:.0%} "
+                      f"offered={row['offered_qps']:,.0f} "
+                      f"achieved={row['achieved_qps']:,.0f} QPS  "
+                      f"lat ms p50={lm['p50']:.1f} p95={lm['p95']:.1f} "
+                      f"p99={lm['p99']:.1f}", flush=True)
+    return out
+
+
 def main(argv=None) -> None:
     enable_compilation_cache()
     p = argparse.ArgumentParser(description=__doc__)
@@ -89,11 +248,26 @@ def main(argv=None) -> None:
     p.add_argument("--requests", type=int, default=20000)
     p.add_argument("--max-delay-ms", type=float, default=5.0)
     p.add_argument("--inflight", type=int, default=8)
+    p.add_argument("--open-loop", action="store_true",
+                   help="latency-vs-offered-load curve (Poisson arrivals at "
+                        "--loads fractions of measured capacity)")
+    p.add_argument("--loads", type=float, nargs="+", default=[0.25, 0.5, 0.8])
+    p.add_argument("--capacity", type=float, default=None,
+                   help="skip the capacity probe and use this QPS")
     p.add_argument("--json", action="store_true")
     args = p.parse_args(argv)
-    r = run(dataset=args.dataset, batch=args.batch, nprobe=args.nprobe,
-            k=args.k, requests=args.requests, max_delay_ms=args.max_delay_ms,
-            inflight=args.inflight, quiet=args.json)
+    if args.open_loop:
+        r = run_load_curve(dataset=args.dataset, batch=args.batch,
+                           nprobe=args.nprobe, k=args.k,
+                           requests=args.requests,
+                           max_delay_ms=args.max_delay_ms,
+                           inflight=args.inflight, loads=tuple(args.loads),
+                           capacity=args.capacity, quiet=args.json)
+    else:
+        r = run(dataset=args.dataset, batch=args.batch, nprobe=args.nprobe,
+                k=args.k, requests=args.requests,
+                max_delay_ms=args.max_delay_ms,
+                inflight=args.inflight, quiet=args.json)
     if args.json:
         print(json.dumps(r))
 

@@ -87,6 +87,7 @@ def run(
     store: str = "padded",
     vs_brute: bool | None = None,
     spill_eps: float = 0.0,
+    sharded: bool = False,
 ) -> list[dict]:
     ds = load_dataset(dataset, gt_k=max(k, 10))
     if max_queries:
@@ -99,6 +100,24 @@ def run(
     build_s = time.perf_counter() - t0
     gt = ds.gt(metric)
     n = ds.base.shape[0]
+
+    # --sharded: run the SAME workload through ShardedIVFIndex over a mesh
+    # of every visible device.  On the real chip that is a 1-device mesh —
+    # the point is to exercise Mosaic lowering of the cluster-major kernels
+    # INSIDE shard_map on actual silicon, the one class of multi-chip bug
+    # the CPU-mesh dryrun cannot catch (VERDICT r2 item 3).
+    searcher = index
+    if sharded:
+        from jax.sharding import Mesh
+
+        from rag_on_edge_tpu.parallel.sharded import ShardedIVFIndex
+
+        import numpy as _np
+
+        smesh = Mesh(_np.array(jax.devices()), ("shard",))
+        searcher = ShardedIVFIndex(index, smesh)
+        if mode == "auto":
+            mode = "cluster"  # the sharded flagship path
 
     # Coarse-only executable for the phase split (the reference reports
     # centroid/fine time separately — SearchTiming, IVFIndex.h:31-36).
@@ -131,12 +150,17 @@ def run(
     deploy_lines = [f"index_build_or_load_s: {build_s:.2f}"]
     for nprobe in nprobes:
         t0 = time.perf_counter()
-        index.compile(batch, k, nprobe, mode=mode, recover=recover)
+        batches = _device_batches(ds.queries, batch)
+        if sharded:
+            search = lambda q: searcher.search_device(q, k, nprobe, mode=mode,  # noqa: E731
+                                                      recover=recover)
+            jax.block_until_ready(search(batches[0]))  # compile warm
+        else:
+            index.compile(batch, k, nprobe, mode=mode, recover=recover)
+            search = lambda q: index.search_device(q, k, nprobe, mode=mode,  # noqa: E731
+                                                   recover=recover)
         compile_s = time.perf_counter() - t0
         deploy_lines.append(f"compile_nprobe{nprobe}_s: {compile_s:.2f}")
-        search = lambda q: index.search_device(q, k, nprobe, mode=mode,  # noqa: E731
-                                               recover=recover)
-        batches = _device_batches(ds.queries, batch)
         lat = timing.measure_latency(search, batches)
         qps = timing.measure_throughput(search, batches, repeats=repeats)
         coarse_qps = timing.measure_throughput(
@@ -151,10 +175,17 @@ def run(
             f"({100 * (1 - coarse_ms / total_ms):.1f}%)",
         ]
 
-        ids, scores, avg_cand = index.search(
-            ds.queries, k=k, nprobe=nprobe, batch_size=batch, mode=mode,
-            recover=recover,
-        )
+        if sharded:
+            ids, scores, avg_cand = searcher.search(
+                ds.queries, k=k, nprobe=nprobe, batch_size=batch, mode=mode,
+            )
+            engine = f"sharded[{searcher.n_shards}]:{mode}"
+        else:
+            ids, scores, avg_cand = index.search(
+                ds.queries, k=k, nprobe=nprobe, batch_size=batch, mode=mode,
+                recover=recover,
+            )
+            engine = index.last_engine
         recall = metrics.recall_at_k(ids, gt, k) if gt is not None else float("nan")
         recall1 = metrics.recall_at_k(ids, gt, 1) if gt is not None else float("nan")
         reduction = n / avg_cand if avg_cand else float("inf")
@@ -176,6 +207,7 @@ def run(
             "recall": recall,
             "recall_at_1": recall1,
             "qps": qps,
+            "engine": engine,
             "gflops": gflops,
             "speedup_vs_brute": speedup,
             "avg_candidates": avg_cand,
@@ -187,7 +219,7 @@ def run(
             sp = f" speedup={speedup:.1f}x" if speedup else ""
             print(
                 f"[ivf {dtype}] {dataset} nlist={index.nlist} nprobe={nprobe} B={batch} "
-                f"K={k}: recall@{k}={recall:.4f} recall@1={recall1:.4f} "
+                f"K={k} engine={engine}: recall@{k}={recall:.4f} recall@1={recall1:.4f} "
                 f"QPS={qps:,.0f}{sp} "
                 f"cand={avg_cand:.0f} ({reduction:.1f}x reduction) "
                 f"lat(ms) mean={lat.mean:.3f} p95={lat.p95:.3f}"
@@ -224,6 +256,7 @@ def run(
                     "Overall Performance": [
                         f"throughput_qps: {qps:.1f}",
                         f"per_query_latency_amortized_ms: {1e3 / qps:.4f}",
+                        f"engine: {engine}",
                     ]
                     + ([f"speedup_vs_bruteforce: {speedup:.2f}x "
                         f"(brute {brute_qps:.1f} QPS, same batch/dtype)"]
@@ -272,13 +305,17 @@ def main(argv=None) -> None:
     p.add_argument("--vs-brute", dest="vs_brute", action="store_true", default=None,
                    help="force the measured IVF-vs-brute speedup (default: auto ≤1M)")
     p.add_argument("--no-vs-brute", dest="vs_brute", action="store_false")
+    p.add_argument("--sharded", action="store_true",
+                   help="run through ShardedIVFIndex over a mesh of every "
+                        "visible device (1-device mesh on the real chip: "
+                        "proves Mosaic lowering under shard_map on silicon)")
     args = p.parse_args(argv)
     rows = run(
         dataset=args.dataset, nlist=args.nlist, nprobes=tuple(args.nprobe),
         k=args.k, batch=args.batch, dtype=args.dtype, metric=args.metric,
         mode=args.mode, repeats=args.repeats, outdir=args.outdir,
         quiet=args.json, max_queries=args.max_queries, pad_block=args.pad_block,
-        vs_brute=args.vs_brute,
+        vs_brute=args.vs_brute, sharded=args.sharded,
     )
     if args.json:
         for r in rows:

@@ -75,6 +75,7 @@ def sweep_ivf(
     recover: bool | None = None,
     store: str = "padded",
     spill_eps: float = 0.0,
+    sharded: bool = False,
 ) -> list[dict]:
     """nprobe sweep (the reference's {8,16,32,64} with top_k=10,
     ``run_all_ivf.sh:26-27``) plus the recall-target summary of the
@@ -84,7 +85,7 @@ def sweep_ivf(
         dataset=dataset, nprobes=tuple(nprobes), k=k, batch=batch,
         nlist=nlist, dtype=dtype, metric=metric, mode=mode, outdir=out,
         pad_block=pad_block, recover=recover, store=store,
-        spill_eps=spill_eps,
+        spill_eps=spill_eps, sharded=sharded,
     )
     for line in recall_target_summary(rows):
         print(line)
@@ -119,6 +120,9 @@ def main(argv=None) -> None:
                     help="redundant-assignment spill: duplicate boundary "
                          "vectors (d2 <= (1+eps)*d1) into their 2nd cluster "
                          "(recall lever at fixed nprobe)")
+    pi.add_argument("--sharded", action="store_true",
+                    help="run through ShardedIVFIndex over a mesh of every "
+                         "visible device")
     pi.add_argument("--outdir", default="results")
     args = p.parse_args(argv)
     from rag_on_edge_tpu.utils.cache import enable_compilation_cache
@@ -129,7 +133,7 @@ def main(argv=None) -> None:
     else:
         sweep_ivf(args.dataset, tuple(args.nprobe), args.k, args.batch, args.nlist,
                   args.dtype, args.metric, args.mode, args.outdir, args.pad_block,
-                  args.recover, args.store, args.spill_eps)
+                  args.recover, args.store, args.spill_eps, args.sharded)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,88 @@
+"""Pre-warm every artifact and executable ``bench.py`` needs.
+
+Run this BEFORE the driver's benchmark (``python -m
+rag_on_edge_tpu.harness.warmup``): it synthesizes/caches the datasets and
+ground truth, builds the canonical 1M IVF index, and compiles every
+program the bench runs into the persistent compilation cache
+(``utils/cache.py``) — so the driver run pays zero cold remote compiles.
+
+This is the TPU analog of the reference's context-binary pre-generation
+(``deploy.sh:200-232``: QNN binaries are built once, the benchmark run
+only loads them; ``run_all_ivf.sh:72-94`` regenerates only if missing).
+The round-2 driver bench timed out (>25 min, rc=124) largely on cold
+remote compiles of that round's new kernels — this entrypoint makes the
+failure mode structurally impossible as long as it has been run once on
+the same machine.
+
+Each stage prints wall time (flushed) so a relay outage is visible
+immediately; every stage is resumable (dataset files, kmeans checkpoint,
+index artifacts, compile cache are all persistent).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+
+def _stage(name: str):
+    print(f"[warmup] {name} ...", flush=True)
+    return time.monotonic()
+
+
+def _done(t0: float) -> None:
+    print(f"[warmup]   done in {time.monotonic() - t0:.1f}s", flush=True)
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rag_on_edge_tpu.harness.bench_ivf import build_or_load_index
+    from rag_on_edge_tpu.models.brute_force import BruteForceIndex
+    from rag_on_edge_tpu.utils.cache import enable_compilation_cache
+    from rag_on_edge_tpu.utils.datasets import load_dataset
+
+    cache_dir = enable_compilation_cache()
+    print(f"[warmup] compile cache at {cache_dir}", flush=True)
+
+    t = _stage("siftsmall dataset (synth + GT)")
+    ds_small = load_dataset("siftsmall", gt_k=10)
+    _done(t)
+
+    t = _stage("sift (1M) dataset (synth + GT; first run ~minutes)")
+    ds = load_dataset("sift", gt_k=10)
+    _done(t)
+
+    t = _stage("1M IVF index build/load (nlist=1024 l2 int8 pb=2048)")
+    idx = build_or_load_index(ds, nlist=1024, metric="l2", dtype="int8",
+                              pad_block=2048)
+    _done(t)
+
+    t = _stage("compile+run: IVF search_device B=8192 np=4 k=10")
+    qs = jnp.asarray(np.resize(ds.queries, (8192, ds.queries.shape[1])))
+    jax.block_until_ready(idx.search_device(qs, 10, 4, mode="cluster"))
+    _done(t)
+
+    t = _stage("compile+run: exact brute 1M (accum+rescore) B=8192 k=10")
+    brute = BruteForceIndex(ds.base, metric="l2", dtype="int8")
+    jax.block_until_ready(brute.search_device(qs, 10))
+    _done(t)
+
+    t = _stage("compile+run: siftsmall brute (single-dispatch + stream-64)")
+    small = BruteForceIndex(ds_small.base, dtype="int8")
+    small.compile(32, 5)
+    stream = jnp.asarray(
+        np.resize(ds_small.queries, (64 * 32, ds_small.queries.shape[1]))
+        .reshape(64, 32, -1)
+    )
+    jax.block_until_ready(small.search_stream_device(stream, 5))
+    _done(t)
+
+    print("[warmup] all bench programs compiled and cached", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

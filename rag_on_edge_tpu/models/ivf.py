@@ -92,6 +92,7 @@ def fine_scan(
     metric: str,
     max_cluster_size: int,
     compute_dtype=None,
+    row_map: jax.Array | None = None,
 ):
     """Scan probed cluster slabs with a running on-device top-k.
 
@@ -99,11 +100,16 @@ def fine_scan(
     ``IVFIndex.cpp:738-779``), shared by the single-chip and mesh-sharded
     paths.
 
-    q: [B, D] f32 queries. vectors: [N, D] cluster-contiguous slabs.
+    q: [B, D] f32 queries. vectors: [N, D] cluster-contiguous slabs — or,
+    when ``row_map`` is given, an UNPADDED fp32 array reached through it:
+    ``row_map`` maps padded rows to rows of ``vectors`` (-1 for padding
+    rows, clipped; their scores are masked by validity anyway).  The
+    indirection lets the device hold one unpadded original-order fp32
+    copy instead of a block-padded one (2.4x padding at pad_block=2048).
     p_offs/p_sizes: [B, P] i32 start row / size per probed cluster (size 0 =
     empty sentinel — used for probe padding and non-owned clusters on
-    sharded meshes). Returns (vals [B, k] f32, rows [B, k] i32 — indices
-    into ``vectors``; rows for -inf slots are meaningless).
+    sharded meshes). Returns (vals [B, k] f32, rows [B, k] i32 — PADDED
+    row indices in both forms; rows for -inf slots are meaningless).
 
     SCALING LIMIT: the slab gather is padded to ``max_cluster_size`` —
     every probe costs O(B · S_max · D) regardless of the probed cluster's
@@ -115,7 +121,7 @@ def fine_scan(
     shape, where the padded gather is one fused program.
     """
     b = q.shape[0]
-    n_rows = vectors.shape[0]
+    n_rows = row_map.shape[0] if row_map is not None else vectors.shape[0]
     nprobe = p_offs.shape[1]
     smax = max_cluster_size
     arange_s = jnp.arange(smax, dtype=jnp.int32)
@@ -125,7 +131,12 @@ def fine_scan(
         rows = offs_c[..., None] + arange_s  # [B, pc, S]
         valid = arange_s[None, None, :] < sizes_c[..., None]
         rows = jnp.clip(rows, 0, n_rows - 1)
-        cand = vectors[rows]  # [B, pc, S, D] slab gather
+        if row_map is None:
+            cand = vectors[rows]  # [B, pc, S, D] slab gather
+        else:
+            # padded row → original id (an int32 gather — noise next to
+            # the [.., D] fp32 slab gather) → unpadded fp32 row.
+            cand = vectors[jnp.clip(row_map[rows], 0)]
         qc = q
         if compute_dtype is not None:
             cand = cand.astype(compute_dtype)
@@ -223,12 +234,12 @@ class IVFIndex:
             )
         if store not in ("padded", "compact"):
             raise ValueError(f"unknown store {store!r} ('padded' | 'compact')")
-        # "compact": no block-padded fp32 copy on device — the fp32 source
-        # for rescoring is the UNPADDED original-order base, reached through
-        # the existing reorder map.  Saves the padding overhead that
-        # dominates device memory at pad_block=2048 (1.23 GB → 512 MB on
-        # 1M) and is what makes 10M-scale single-chip serving fit; only
-        # the cluster-major Pallas engines are available in this mode.
+        # Both stores keep fp32 UNPADDED in original order (reached through
+        # the reorder map — the "dual padding" diet: no path pays the
+        # block-padding tax, 1.23 GB → 512 MB on 1M at pad_block=2048).
+        # "compact" additionally builds the cluster-major kernel state
+        # EAGERLY and defaults mode to "cluster" — the 10M single-chip
+        # serving configuration.
         self.store = store
         self.metric = metric
         # Cluster probing ranks centroids by L2 by default, independent of
@@ -313,18 +324,19 @@ class IVFIndex:
             "sizes": jnp.asarray(sizes),
             "reorder": jnp.asarray(reorder_padded),
         }
-        if store == "padded":
-            # fp32 block-padded copy: the rescoring / query-major / XLA
-            # cluster-engine source.
-            arrays["vectors"] = jnp.asarray(vec_padded)
-        else:
-            # Unpadded, ORIGINAL-order fp32 for rescoring only (gathered
-            # through the reorder map — no padding rows on device).  Sized
-            # by DISTINCT base vectors: spilled copies collapse back onto
-            # their one original row.
-            orig = np.empty((self.n_base, self.dim), dtype=np.float32)
-            orig[self._reorder_np] = self._vectors_np
-            arrays["vectors_f32"] = jnp.asarray(orig)
+        # Unpadded, ORIGINAL-order fp32 — the ONE fp32 source on device for
+        # both stores: rescoring and the query-major gather reach it
+        # through the padded-row → original-id reorder map, so no path
+        # pays the block-padding tax (2.4x fp32 padding at pad_block=2048
+        # — 1.23 GB vs 512 MB on 1M; the round-2 "dual padding" lead).
+        # Sized by DISTINCT base vectors: spilled copies collapse back
+        # onto their one original row.  The block-padded fp32 copy is only
+        # materialized lazily for the XLA cluster engine, whose contiguous
+        # dynamic-slice slab walk cannot ride an indirection
+        # (:meth:`_ensure_padded_f32`).
+        orig = np.empty((self.n_base, self.dim), dtype=np.float32)
+        orig[self._reorder_np] = self._vectors_np
+        arrays["vectors_f32"] = jnp.asarray(orig)
         if coarse_metric == "l2":
             arrays["centroid_norms"] = distances.base_norms_sq(arrays["centroids"])
         if metric == "l2":
@@ -357,6 +369,11 @@ class IVFIndex:
         # Routing spill (dropped query-cluster pairs) of the most recent
         # cluster-major search: a device scalar, no sync until read.
         self.last_spill: jax.Array | None = None
+        # Engine attribution of the most recent search_device call —
+        # "auto" resolves per index layout, so benches record the actual
+        # kernel ("pallas_accum" | "pallas" | "pallas_routed" | "xla").
+        self.last_engine: str | None = None
+        self.last_mode: str | None = None
         self._search_cm_jit = jax.jit(
             self._search_cluster_major_impl,
             static_argnames=("k", "nprobe", "qcap", "engine", "rescore",
@@ -470,19 +487,13 @@ class IVFIndex:
         norms are recomputed from the gathered rows (128 FLOPs) instead of
         a second 164K-index gather (milliseconds)."""
         b, kp = rows.shape
-        orig = None
-        if "vectors" in arrays:
-            safe = jnp.clip(rows, 0, arrays["vectors"].shape[0] - 1)
-            cand = jnp.take(
-                arrays["vectors"], safe.reshape(-1), axis=0
-            ).reshape(b, kp, -1)  # [B, k', D]
-        else:
-            # compact store: padded row → original id → unpadded fp32 row
-            # (padding rows map to id -1 → clipped; masked by vals below).
-            safe = jnp.clip(rows, 0, arrays["reorder"].shape[0] - 1)
-            orig = jnp.clip(jnp.take(arrays["reorder"], safe.reshape(-1), axis=0), 0)
-            cand = jnp.take(arrays["vectors_f32"], orig, axis=0).reshape(
-                b, kp, -1)  # [B, k', D]
+        # padded row → original id → unpadded fp32 row (padding rows map
+        # to id -1 → clipped; masked by vals below).  Both stores rescore
+        # from the unpadded original-order fp32 source.
+        safe = jnp.clip(rows, 0, arrays["reorder"].shape[0] - 1)
+        orig = jnp.clip(jnp.take(arrays["reorder"], safe.reshape(-1), axis=0), 0)
+        cand = jnp.take(arrays["vectors_f32"], orig, axis=0).reshape(
+            b, kp, -1)  # [B, k', D]
         scores = jnp.einsum(
             "bcd,bd->bc", cand, queries.astype(jnp.float32),
             preferred_element_type=jnp.float32,
@@ -497,9 +508,6 @@ class IVFIndex:
             # Dedup by original id: a spilled vector can reach the pool
             # through BOTH of its clusters (ops/topk.dedup_rows_by_id —
             # the padded-row payload travels through the sort).
-            if orig is None:
-                safe_r = jnp.clip(rows, 0, arrays["reorder"].shape[0] - 1)
-                orig = jnp.take(arrays["reorder"], safe_r.reshape(-1), axis=0)
             scores, _, rows = topk.dedup_rows_by_id(
                 scores, orig.reshape(b, kp), payload=rows
             )
@@ -552,7 +560,7 @@ class IVFIndex:
         # (reference NEON scan + heaps, IVFIndex.cpp:738-779).
         best_v, best_i = fine_scan(
             q,
-            arrays["vectors"],
+            arrays["vectors_f32"],
             arrays.get("vector_norms"),
             p_offs,
             p_sizes,
@@ -561,6 +569,7 @@ class IVFIndex:
             metric=self.metric,
             max_cluster_size=self.max_cluster_size,
             compute_dtype=jnp.bfloat16 if self.dtype == "bf16" else None,
+            row_map=arrays["reorder"],
         )
         if rescore:
             best_v, best_i = self._rescore_rows(arrays, q, best_v, best_i, k)
@@ -569,16 +578,36 @@ class IVFIndex:
         ids = jnp.where(best_v > _NEG_INF, arrays["reorder"][best_i], -1)
         return best_v, ids.astype(jnp.int32), n_candidates.astype(jnp.int32)
 
+    def _vec_padded_host(self) -> np.ndarray:
+        """Rebuild the block-padded fp32 layout on the HOST from the
+        serialization copies (the padded copy is no longer device-resident
+        by default — see ``vectors_f32`` in ``__init__``)."""
+        pb = self.PAD_BLOCK
+        sizes = np.diff(self._offsets_np).astype(np.int64)
+        padded_offsets = np.zeros(self.nlist + 1, dtype=np.int64)
+        np.cumsum(-(-sizes // pb) * pb, out=padded_offsets[1:])
+        vec = np.zeros((int(padded_offsets[-1]), self.dim), dtype=np.float32)
+        for c in range(self.nlist):
+            s0, s1 = int(self._offsets_np[c]), int(self._offsets_np[c + 1])
+            d0 = int(padded_offsets[c])
+            vec[d0 : d0 + (s1 - s0)] = self._vectors_np[s0:s1]
+        return vec
+
+    def _ensure_padded_f32(self) -> None:
+        """Materialize the block-padded fp32 copy on device for the XLA
+        cluster engine (contiguous dynamic-slice slab walk).  Costs the
+        2.4x-at-pad_block=2048 padding tax, so it is NOT built by default
+        — only this engine pays it, on first use."""
+        if "vectors" not in self._arrays:
+            self._arrays["vectors"] = jnp.asarray(self._vec_padded_host())
+
     def _ensure_kernel_state(self) -> None:
         """Lazily add the cluster-major kernel's arrays (block-tiled slabs,
         block tables) to the index state.  The compact store builds them
-        eagerly at construction (the padded fp32 source is host-transient
-        there)."""
+        eagerly at construction."""
         if "vectors_t" in self._arrays:
             return
-        self._build_kernel_state(
-            np.asarray(self._arrays["vectors"], dtype=np.float32)
-        )
+        self._build_kernel_state(self._vec_padded_host())
 
     def _build_kernel_state(self, vec: np.ndarray) -> None:
         """vec: [Npad, D] fp32 block-padded host array (consumed here)."""
@@ -1230,17 +1259,13 @@ class IVFIndex:
             per-cluster top-kk (pre-cluster_k behavior).
         """
         b = queries.shape[0]
-        if self.store == "compact":
-            if mode == "auto":
-                mode = "cluster"
-            if mode != "cluster" or engine not in (
-                "auto", "pallas", "pallas_routed", "pallas_accum"
-            ):
-                raise ValueError(
-                    "store='compact' serves the cluster-major pallas engines "
-                    "only (no padded fp32 copy on device for query-major/XLA "
-                    "scans) — build with store='padded' for those modes"
-                )
+        if self.store == "compact" and mode == "auto":
+            # Compact was built for cluster-major serving; keep that its
+            # default.  Since the fp32 source is the unpadded original-
+            # order copy on BOTH stores now, query-major and the XLA
+            # engine work on compact too (the XLA engine materializes its
+            # padded copy lazily from the host either way).
+            mode = "cluster"
         if mode == "auto":
             mode = self._pick_mode(b, nprobe)
         if rescore is None:
@@ -1248,6 +1273,11 @@ class IVFIndex:
                 mode == "cluster" and engine != "xla"
             ) or self.spilled  # spilled indexes dedup in the rescore stage
         if mode == "cluster":
+            if engine == "xla":
+                # The XLA engine's contiguous dynamic-slice slab walk needs
+                # the block-padded fp32 copy — built on first use only (the
+                # default engines never pay its padding tax).
+                self._ensure_padded_f32()
             if engine == "auto":
                 self._ensure_kernel_state()
                 eligible = (
@@ -1306,9 +1336,17 @@ class IVFIndex:
                 bin_depth, rescore_k or 0, cluster_k,
             )
             self.last_spill = spill
+            # Engine attribution: auto's pallas_accum/pallas pick depends on
+            # the index LAYOUT (block span, pad_block, dim), so two runs of
+            # the same CLI can use different kernels — benches record which
+            # one actually produced each row (VERDICT r2 item 7).
+            self.last_engine = engine
+            self.last_mode = mode
             return vals, ids, ncand
         if mode != "query":
             raise ValueError(f"unknown mode {mode!r}")
+        self.last_engine = "xla"
+        self.last_mode = mode
         pc = probe_chunk or self._auto_probe_chunk(b)
         return self._search_jit(self._arrays, queries, k, nprobe, pc, rescore)
 
@@ -1331,10 +1369,6 @@ class IVFIndex:
                 query_stream.reshape(m * b2, d), k, nprobe, mode="cluster"
             )
             return v.reshape(m, b2, k), i.reshape(m, b2, k), c.reshape(m, b2)
-        if self.store == "compact":
-            raise ValueError(
-                "store='compact' streams via mode='cluster' only"
-            )
         pc = probe_chunk or self._auto_probe_chunk(query_stream.shape[1])
         return self._stream_jit(self._arrays, query_stream, k, nprobe, pc)
 

@@ -260,6 +260,14 @@ def fused_topk_accum(
         raise ValueError("bias_rows is the int8-L2 path; float bases fold "
                          "norms into an augmented dimension instead")
 
+    # Deep selection pools (the kk=2k rescore path) inflate the compiler's
+    # scoped-VMEM stack: _extract_topk's per-pass temporaries are
+    # [tile_b, tile_n] i32 planes, and at tile_b=256/k=20 the stack
+    # measured 21.07 MB against the 16 MB limit (compile failure on the
+    # exact-contract brute config, B=8192).  Halving tile_b halves every
+    # selection temporary; 128 stays inside the measured 128-256 perf band.
+    if k > 12:
+        tile_b = min(tile_b, 128)
     tile_b = min(-(-b // (32 if int_path else 8)) * (32 if int_path else 8), tile_b)
     pad_b = (-b) % tile_b
     if pad_b:

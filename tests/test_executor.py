@@ -64,6 +64,56 @@ def test_executor_group_submit_and_deadline(small_data, index):
         np.testing.assert_array_equal(ids, direct_ids)
 
 
+def test_executor_submit_many(small_data, index):
+    """submit_many enqueues contiguous blocks (one queue item per
+    batch_size chunk) and returns per-row handles that each resolve like
+    a singleton submit — including when M spans multiple batches and
+    when the tail underfills one."""
+    _, queries = small_data  # 32 queries
+    q = np.resize(queries, (40, queries.shape[1])).astype(np.float32)
+    q += np.linspace(0, 1, 40, dtype=np.float32)[:, None]  # distinct rows
+    direct_ids, direct_scores = index.search(q, k=5, batch_size=16)
+    with BatchingExecutor(
+        lambda b: index.search_device(b, k=5), dim=q.shape[1],
+        batch_size=16, max_delay_ms=2.0,
+    ) as ex:
+        futs = ex.submit_many(q)
+        assert len(futs) == 40
+        for i, f in enumerate(futs):
+            vals, ids = f.result(timeout=30)
+            assert ids.shape == (5,)
+            np.testing.assert_array_equal(ids, direct_ids[i])
+            np.testing.assert_allclose(vals, direct_scores[i], rtol=1e-6)
+    with BatchingExecutor(
+        lambda b: index.search_device(b, k=3), dim=q.shape[1], batch_size=16
+    ) as ex:
+        with pytest.raises(ValueError, match="M >= 1"):
+            ex.submit_many(np.empty((0, q.shape[1]), np.float32))
+        with pytest.raises(ValueError, match="dim"):
+            ex.submit_many(np.zeros((4, 7), np.float32))
+
+
+def test_executor_mixed_singleton_and_group_batch(small_data, index):
+    """A batch mixing singletons and groups must place every row at its
+    handle's offset (regression for the vectorized all-singleton fill)."""
+    _, queries = small_data
+    direct_ids, _ = index.search(queries[:8], k=4)
+    with BatchingExecutor(
+        lambda b: index.search_device(b, k=4), dim=queries.shape[1],
+        batch_size=8, max_delay_ms=50.0,
+    ) as ex:
+        f0 = ex.submit(queries[0])
+        g = ex.submit(queries[1:5])     # group of 4
+        f1 = ex.submit(queries[5])
+        f2 = ex.submit(queries[6])
+        f3 = ex.submit(queries[7])      # fills batch_size=8 by rows
+        np.testing.assert_array_equal(f0.result(timeout=30)[1], direct_ids[0])
+        np.testing.assert_array_equal(g.result(timeout=30)[1], direct_ids[1:5])
+        np.testing.assert_array_equal(f1.result(timeout=30)[1], direct_ids[5])
+        np.testing.assert_array_equal(f2.result(timeout=30)[1], direct_ids[6])
+        np.testing.assert_array_equal(f3.result(timeout=30)[1], direct_ids[7])
+
+
 def test_executor_rejects_bad_inputs(small_data, index):
     _, queries = small_data
     ex = BatchingExecutor(
@@ -205,9 +255,9 @@ def test_executor_lost_wakeup_self_heals(small_data, index):
         futs = []
         for i in range(2):
             f = SliceFuture(ex)
-            ex._queue.append(
-                (np.asarray(queries[i], np.float32), f, time.perf_counter())
-            )
+            f._q = np.asarray(queries[i], np.float32)
+            f._t = time.perf_counter()
+            ex._queue.append(f)
             futs.append(f)
         ex._wake.clear()  # ensure no wake signal exists
         direct_ids, _ = index.search(queries[:2], k=3)

@@ -114,7 +114,7 @@ def test_padded_layout_invariants(small_data, ivf):
     sizes = np.asarray(ivf._arrays["sizes"])
     assert (offs % ivf.PAD_BLOCK == 0).all()
     reorder = np.asarray(ivf._arrays["reorder"])
-    vecs = np.asarray(ivf._arrays["vectors"])
+    vecs = ivf._vec_padded_host()  # padded fp32 is host-rebuilt, not device-resident
     # padded rows have reorder -1 and zero vectors; real rows match base
     for c in range(ivf.nlist):
         o, s = offs[c], sizes[c]
@@ -358,14 +358,23 @@ def test_compact_store_matches_padded(small_data, metric, dtype):
         np.testing.assert_array_equal(np.asarray(c_p), np.asarray(c_c))
         np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_c))
         np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_c), rtol=1e-5)
-    # memory: compact never materializes the padded fp32 copy
+    # memory: neither store materializes the padded fp32 copy by default
+    # (the dual-padding diet — fp32 lives unpadded in original order)
     assert "vectors" not in cmp_._arrays and "vectors_f32" in cmp_._arrays
-    assert cmp_.memory_report()["TOTAL"] < pad.memory_report()["TOTAL"] + \
+    assert "vectors" not in pad._arrays and "vectors_f32" in pad._arrays
+    assert cmp_.memory_report()["TOTAL"] <= pad.memory_report()["TOTAL"] + \
         cmp_._arrays["vectors_f32"].size * 4
-    with pytest.raises(ValueError, match="compact"):
-        cmp_.search_device(q, k=10, nprobe=4, mode="query")
-    with pytest.raises(ValueError, match="compact"):
-        cmp_.search_device(q, k=10, nprobe=4, mode="cluster", engine="xla")
+    # the stores converged: query-major and the XLA engine now work on
+    # compact too (XLA materializes its padded copy lazily, both stores)
+    v_q, i_q, _ = cmp_.search_device(q, k=10, nprobe=4, mode="query")
+    v_qp, i_qp, _ = pad.search_device(q, k=10, nprobe=4, mode="query")
+    np.testing.assert_array_equal(np.asarray(i_q), np.asarray(i_qp))
+    v_x, i_x, _ = cmp_.search_device(q, k=10, nprobe=4, mode="cluster",
+                                     engine="xla", qcap=q.shape[0])
+    assert "vectors" in cmp_._arrays  # lazy padded copy, XLA engine only
+    v_xp, i_xp, _ = pad.search_device(q, k=10, nprobe=4, mode="cluster",
+                                      engine="xla", qcap=q.shape[0])
+    np.testing.assert_array_equal(np.asarray(i_x), np.asarray(i_xp))
 
 
 def test_bin_depth_and_rescore_k(small_data, ivf):
