@@ -21,6 +21,7 @@ import os
 import time
 
 import jax
+import numpy as np
 
 from rag_on_edge_tpu.harness import timing
 from rag_on_edge_tpu.harness.bench_bruteforce import _device_batches
@@ -53,6 +54,16 @@ def build_or_load_index(
     )
     if os.path.exists(os.path.join(cache, "ivf_config.json")):
         return IVFIndex.load(cache, store=store)
+    # The coarse quantizer depends only on (base, nlist, seed, init,
+    # max_iter) — persist it once per dataset and reuse across dtype/
+    # pad_block/spill_eps variants (a 10M Lloyd run is ~25 device-bound
+    # minutes; a spill_eps sweep would otherwise re-pay it per value).
+    max_iter = 25 if ds.base.shape[0] > 200_000 else 100
+    cent_path = os.path.join(
+        cache_root, ds.name,
+        f"centroids_nlist{nlist}_seed{seed}{init_tag}_mi{max_iter}.npy",
+    )
+    centroids = np.load(cent_path) if os.path.exists(cent_path) else None
     # Per-iteration Lloyd checkpoint: a 10M build is ~25 device-bound
     # minutes; a transient relay failure resumes at the last completed
     # iteration instead of restarting.  The path encodes the full build
@@ -61,8 +72,10 @@ def build_or_load_index(
     ckpt = cache + ".kmeans_ckpt.npz"
     index = IVFIndex.build(ds.base, nlist=nlist, metric=metric, dtype=dtype, seed=seed,
                            pad_block=pad_block, store=store, kmeans_init=kmeans_init,
-                           max_iter=25 if ds.base.shape[0] > 200_000 else 100,
-                           kmeans_checkpoint=ckpt, spill_eps=spill_eps)
+                           max_iter=max_iter, kmeans_checkpoint=ckpt,
+                           spill_eps=spill_eps, centroids=centroids)
+    if centroids is None:
+        np.save(cent_path, index._centroids_np)
     index.save(cache)
     if os.path.exists(ckpt):
         os.remove(ckpt)
@@ -112,9 +125,7 @@ def run(
 
         from rag_on_edge_tpu.parallel.sharded import ShardedIVFIndex
 
-        import numpy as _np
-
-        smesh = Mesh(_np.array(jax.devices()), ("shard",))
+        smesh = Mesh(np.array(jax.devices()), ("shard",))
         searcher = ShardedIVFIndex(index, smesh)
         if mode == "auto":
             mode = "cluster"  # the sharded flagship path

@@ -408,6 +408,7 @@ class IVFIndex:
         kmeans_init: str = "kmeans++",
         kmeans_checkpoint: str | None = None,
         spill_eps: float = 0.0,
+        centroids: np.ndarray | None = None,
     ) -> "IVFIndex":
         """Train the coarse quantizer and lay out clusters contiguously.
 
@@ -428,14 +429,33 @@ class IVFIndex:
         base = np.asarray(base, dtype=np.float32)
         n = base.shape[0]
         nlist = kmeans_mod.default_nlist(n, nlist)
-        centroids, assign = kmeans_mod.kmeans(base, nlist, seed=seed,
-                                              max_iter=max_iter, init=kmeans_init,
-                                              checkpoint=kmeans_checkpoint)
+        if centroids is not None:
+            # Pre-trained coarse quantizer: skip Lloyd entirely and assign
+            # against the given centroids.  Centroids depend only on
+            # (base, nlist, seed, init, max_iter) — NOT on dtype/metric/
+            # pad_block/spill_eps — so a spill_eps sweep at 10M reuses one
+            # ~25-min k-means run instead of re-paying it per variant
+            # (``build_or_load_index`` persists/reloads the artifact).
+            centroids = np.asarray(centroids, dtype=np.float32)
+            if centroids.shape != (nlist, base.shape[1]):
+                raise ValueError(
+                    f"centroids shape {centroids.shape} != "
+                    f"({nlist}, {base.shape[1]})"
+                )
+            # spill_eps > 0 recomputes the primary assignment below anyway
+            # (assign_top2); only the spill-free path needs one here.
+            assign = (None if spill_eps > 0.0 else
+                      np.asarray(kmeans_mod.assign_clusters(
+                          jnp.asarray(base), jnp.asarray(centroids))))
+        else:
+            centroids, assign = kmeans_mod.kmeans(
+                base, nlist, seed=seed, max_iter=max_iter, init=kmeans_init,
+                checkpoint=kmeans_checkpoint)
 
         # Row inventory: every base vector once, plus (optionally) spilled
         # second copies of boundary vectors.
         ids_all = np.arange(n, dtype=np.int64)
-        cl_all = assign.astype(np.int64)
+        cl_all = None if assign is None else assign.astype(np.int64)
         n_spilled = 0
         if spill_eps > 0.0:
             # Primary AND spill assignments from the same snapshot (the

@@ -377,3 +377,36 @@ def test_spill_with_routing_recovery(small_data):
         recover=True, recover_qcap=16, recover_passes=3,
     )
     assert r >= recall_at_k(np.asarray(ids_p), gt, 10) - 1e-9
+
+
+# ----------------------------------------------------- pre-trained centroids
+
+
+def test_build_with_pretrained_centroids_matches(small_data):
+    """build(centroids=...) skips Lloyd and must reproduce the same index
+    a fresh build with those final centroids would: identical layout and
+    identical search results, with and without spilled assignment (the
+    spill_eps-sweep centroid-reuse path in build_or_load_index)."""
+    base, queries = small_data
+    ref = IVFIndex.build(base, nlist=16, metric="l2", seed=42, max_iter=20)
+    cents = ref._centroids_np
+    # Spill-free: assignment against the FINAL centroids can differ from
+    # Lloyd's penultimate-centroid assignment on a handful of boundary
+    # rows, so compare search RESULTS (full probe = exact), not layout.
+    rebuilt = IVFIndex.build(base, nlist=16, metric="l2", centroids=cents)
+    np.testing.assert_array_equal(rebuilt._centroids_np, cents)
+    ids_a, s_a, _ = ref.search(queries, k=10, nprobe=16)
+    ids_b, s_b, _ = rebuilt.search(queries, k=10, nprobe=16)
+    np.testing.assert_array_equal(ids_a, ids_b)
+    np.testing.assert_allclose(s_a, s_b, rtol=1e-6)
+    # Spilled: the spill path recomputes a1/a2 from the given centroids in
+    # both builds, so the layouts must match EXACTLY.
+    sp_ref = IVFIndex.build(base, nlist=16, metric="l2", seed=42,
+                            max_iter=20, spill_eps=0.6)
+    sp_new = IVFIndex.build(base, nlist=16, metric="l2", spill_eps=0.6,
+                            centroids=sp_ref._centroids_np)
+    assert sp_new.spilled and sp_new.n == sp_ref.n
+    np.testing.assert_array_equal(sp_new._reorder_np, sp_ref._reorder_np)
+    np.testing.assert_array_equal(sp_new._offsets_np, sp_ref._offsets_np)
+    with pytest.raises(ValueError, match="centroids shape"):
+        IVFIndex.build(base, nlist=8, centroids=cents)
