@@ -73,6 +73,12 @@ class BruteForceIndex:
         exact engines; pass False explicitly for the raw accum numbers.
         Applies to every dtype including fp32 (the approximation is the
         engine's, not the dtype's).
+    rescore_depth : rescore pool = ``rescore_depth * k`` candidates (min
+        k+1, capped at N).  2 (default) measured recall@10 0.9980 on
+        SIFT-1M int8 B=8192 — the residual loss is true top-10 entries
+        whose int8 rank falls below 2k, plus accum bin collisions; deeper
+        pools buy recall with a larger in-kernel selection + rescore
+        gather (see RESULTS.md pool-depth study).
     device : optional jax.Device to place the index on.
     """
 
@@ -84,6 +90,7 @@ class BruteForceIndex:
         select: str = "auto",
         engine: str = "auto",
         rescore: bool | None = None,
+        rescore_depth: int = 2,
         device: jax.Device | None = None,
     ):
         if metric not in ("ip", "l2"):
@@ -117,6 +124,9 @@ class BruteForceIndex:
         # approximate, so it rescores by default (every dtype — the
         # approximation is the engine's, not the dtype's).
         self.rescore = engine == "accum" if rescore is None else bool(rescore)
+        if rescore_depth < 1:
+            raise ValueError(f"rescore_depth must be >= 1, got {rescore_depth}")
+        self.rescore_depth = int(rescore_depth)
         self.n, self.dim = base.shape
         self._device = device
 
@@ -295,7 +305,7 @@ class BruteForceIndex:
 
     def _search_impl(self, arrays, queries: jax.Array, k: int):
         """Device-side search: queries [B, D] f32 → (scores [B,k] f32, ids [B,k] i32)."""
-        kq = min(2 * k, self.n) if self.rescore else k
+        kq = min(max(self.rescore_depth * k, k + 1), self.n) if self.rescore else k
         if self.engine in ("pallas", "accum"):
             fn = (self._search_pallas if self.engine == "pallas"
                   else self._search_accum)

@@ -118,3 +118,22 @@ def test_engine_auto_selection(small_data, rng):
     assert BruteForceIndex(base, dtype="fp32").engine == "xla"
     big = rng.uniform(0, 100, size=(100_000, 16)).astype(np.float32)
     assert BruteForceIndex(big, dtype="fp32").engine == "accum"
+
+
+def test_rescore_depth_pool(small_data):
+    """rescore_depth widens the candidate pool fed to the exact fp32
+    rescore; depth 1 still rescores k+1, invalid depth rejected."""
+    base, queries = small_data
+    import numpy as np
+    from rag_on_edge_tpu.utils.datasets import ground_truth
+    gt = ground_truth(base, queries, k=10, metric="l2", backend="numpy")
+    deep = BruteForceIndex(base, metric="l2", dtype="int8", engine="accum",
+                           rescore=True, rescore_depth=4)
+    ids, _ = deep.search(queries, k=10)
+    from rag_on_edge_tpu.utils.metrics import recall_at_k
+    shallow = BruteForceIndex(base, metric="l2", dtype="int8", engine="accum",
+                              rescore=True, rescore_depth=1)
+    ids_s, _ = shallow.search(queries, k=10)
+    assert recall_at_k(ids, gt, 10) >= recall_at_k(ids_s, gt, 10)
+    with pytest.raises(ValueError, match="rescore_depth"):
+        BruteForceIndex(base, rescore_depth=0)
