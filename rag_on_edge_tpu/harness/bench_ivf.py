@@ -219,6 +219,10 @@ def run(
             "recall_at_1": recall1,
             "qps": qps,
             "engine": engine,
+            # Stored rows incl. spilled copies: the spill_eps cost axis
+            # (n_rows / n_base - 1 = spill fraction).
+            "n_rows": index.n,
+            "n_base": index.n_base,
             "gflops": gflops,
             "speedup_vs_brute": speedup,
             "avg_candidates": avg_cand,
