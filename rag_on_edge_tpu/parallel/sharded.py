@@ -31,7 +31,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from rag_on_edge_tpu.models.ivf import IVFIndex, fine_scan
-from rag_on_edge_tpu.ops import distances, quantize, topk
+from rag_on_edge_tpu.ops import distances, pallas_ivf_dma, pallas_topk, quantize, topk
 from rag_on_edge_tpu.ops.pallas_bruteforce import fused_topk_matmul
 
 __all__ = ["ShardedBruteForceIndex", "ShardedIVFIndex"]
@@ -409,13 +409,14 @@ class ShardedIVFIndex:
         self._qm_arrays: dict | None = None  # query-major per-shard layout
         self._cm_arrays: dict | None = None
         self.last_spill = None  # routing spill of the last cluster-major call
+        self.last_engine: str | None = None  # kernel of the last cluster call
         self._search_jit = jax.jit(
             self._make_sharded_fn(), static_argnames=("k", "nprobe", "probe_chunk")
         )
         self._search_cm_jit = jax.jit(
             self._make_cluster_major_fn(),
             static_argnames=("k", "nprobe", "qcap", "recover_qcap",
-                             "recover_blocks", "recover_passes"),
+                             "recover_blocks", "recover_passes", "engine"),
         )
 
     # ------------------------------------------------- query-major (gather)
@@ -513,7 +514,12 @@ class ShardedIVFIndex:
         ]
         rows_max = max(max(r1 - r0 for r0, r1 in row_bounds), blk)
         rows_max = -(-rows_max // blk) * blk
-        nblocks_max = rows_max // blk
+        # Pad the per-shard block count to a multiple of 8: the accum
+        # (planes) engine walks group=8 blocks per grid step and needs
+        # >= depth blocks for its DMA-ring warm-up (the grouped engine's
+        # CM_GROUP=4 is covered too).  Dummy blocks are rv=0 no-ops.
+        nblocks_max = -(-(rows_max // blk) // 8) * 8
+        rows_max = nblocks_max * blk
         rows_c_max = max(
             max(int(offs_u[hi] - offs_u[lo]) for lo, hi in bounds), 1
         )
@@ -535,16 +541,21 @@ class ShardedIVFIndex:
             bf = np.zeros(nblocks_max, np.int32)
             bl = np.zeros(nblocks_max, np.int32)
             rv = np.zeros(nblocks_max, np.int32)
+            # LOCAL last-block index per GLOBAL cluster id (accum planes
+            # join: only a cluster's last block's pp row is defined).
+            # Unowned clusters read 0 — gated by `owned` at the join.
+            lb = np.zeros(self.nlist, np.int32)
             if hi > lo:
-                bcl, bfl, bll, rvl, _ = pallas_ivf.build_block_tables(
+                bcl, bfl, bll, rvl, lbl = pallas_ivf.build_block_tables(
                     offs_p[lo:hi] - r0, sizes[lo:hi], blk
                 )
                 nb = len(bcl)
                 bc[:nb] = bcl + lo  # local tables, GLOBAL cluster ids
                 bf[:nb], bl[:nb], rv[:nb] = bfl, bll, rvl
+                lb[lo:hi] = lbl
                 # Trailing dummy blocks: attached to the last owned cluster
                 # with first=last=0 and no valid rows — pure no-ops.
-            return bc, bf, bl, rv
+            return bc, bf, bl, rv, lb
 
         def compact(s, src, fill, dtype):
             lo, hi = bounds[s]
@@ -608,6 +619,7 @@ class ShardedIVFIndex:
         for name, _i in [("bc", 0), ("bf", 1), ("bl", 2), ("rv", 3)]:
             specs[name] = ((S, nblocks_max), np.int32,
                            lambda s, _i=_i: tables(s)[_i])
+        specs["lb"] = ((S, self.nlist), np.int32, lambda s: tables(s)[4])
         if self.dtype == "int8" and self.metric == "l2":
             specs["norms_pad"] = ((S, rows_max), np.float32, norms_padded)
         else:
@@ -617,6 +629,15 @@ class ShardedIVFIndex:
         arrays["cluster_shard"] = jnp.asarray(cluster_shard)
         arrays["sizes"] = jnp.asarray(sizes)
         self._cm_arrays = arrays
+        # Accum (planes) engine eligibility — the same layout gates as the
+        # single-chip auto pick (models/ivf.py search_device): block span
+        # per cluster, pad_block chunk-id width, int8 packed-key dim cap.
+        # Whole clusters live on one shard, so the spans are unchanged.
+        self._cm_accum_ok = (
+            index._cm_max_nb <= pallas_ivf_dma.CODE_MAX
+            and blk <= 128 * pallas_ivf_dma.CODE_MAX
+            and index.dim <= index._accum_dim_cap()
+        )
 
     def _make_cluster_major_fn(self):
         from rag_on_edge_tpu.models.ivf import invert_probes
@@ -632,14 +653,15 @@ class ShardedIVFIndex:
         get_scale = lambda: self._cm_base_scale  # noqa: E731 — set by _ensure_cluster_state
 
         def shard_body(q, cents, c_norms, vecs_t, vecs_c, norms_c, reorder_c,
-                       po, co, bc, bf, bl, rv, norms_pad,
+                       po, co, bc, bf, bl, rv, lb, norms_pad,
                        cluster_shard, sizes, k, nprobe, qcap,
-                       recover_qcap, recover_blocks, recover_passes):
+                       recover_qcap, recover_blocks, recover_passes, engine):
             vecs_t, vecs_c, norms_c, reorder_c = (
                 vecs_t[0], vecs_c[0], norms_c[0], reorder_c[0]
             )
             po, co = po[0], co[0]
             bc, bf, bl, rv, norms_pad = bc[0], bf[0], bl[0], rv[0], norms_pad[0]
+            lb = lb[0]
             kk = 2 * k
             # Full-depth per-cluster emit (IVFIndex._auto_cluster_k): the
             # nearest probed cluster typically holds most of a query's
@@ -680,14 +702,41 @@ class ShardedIVFIndex:
                 qrow = qrow.astype(vecs_t.dtype)
             qg = jnp.where(routed, qrow[jnp.clip(cq, 0)], jnp.zeros((), qrow.dtype))
 
-            # Sharded fine stage: each chip scans only its local blocks.
-            pv, pr = pallas_ivf.cluster_major_scan(
-                qg, vecs_t, bc, bf, bl, rv, k=ck, blk=blk, bias=bias
-            )
-
             b = q.shape[0]
             me = jax.lax.axis_index(axis)
             owned = cluster_shard[probes] == me
+
+            # Sharded fine stage: each chip scans only its local blocks.
+            pv = pr = pp = None
+            if engine == "pallas_accum":
+                # Planes-emit accum engine inside shard_map (the single-chip
+                # flagship kernel, models/ivf.py STAGE 3): per-block routed
+                # queries, raw packed bin planes out, selection at the join.
+                nblocks_local = vecs_t.shape[0]
+                bias_rows = None
+                if bias is not None:
+                    # Pre-shifted planes pack — see the single-chip builder
+                    # (models/ivf.py): (round(norms/alpha) << 8) - pack,
+                    # pack = (code(t) << 4) | cid(col).
+                    cmax = pallas_ivf_dma.CODE_MAX
+                    code = jnp.int32(cmax - 1) - (
+                        jnp.arange(nblocks_local, dtype=jnp.int32) % cmax)
+                    cidc = jnp.arange(blk, dtype=jnp.int32) >> 7
+                    pack = (jax.lax.shift_left(code, 4)[:, None]
+                            | cidc[None, :])  # [nblocks, blk]
+                    br = jnp.clip(
+                        jnp.round(bias.reshape(nblocks_local, 1, blk)),
+                        -(2.0**21), 2.0**21).astype(jnp.int32)
+                    bias_rows = jax.lax.shift_left(br, 8) - pack[:, None, :]
+                qb = qg[bc]  # [nblocks_local, qcap, D'] per-block queries
+                pp = pallas_ivf_dma.cluster_major_accum_planes(
+                    qb, vecs_t, bf, bl, rv, blk=blk, group=8,
+                    depth=4 if vecs_t.dtype == jnp.float32 else 8,
+                    bin2=True, bias_rows=bias_rows)
+            else:
+                pv, pr = pallas_ivf.cluster_major_scan(
+                    qg, vecs_t, bc, bf, bl, rv, k=ck, blk=blk, bias=bias
+                )
             extra = None
             if recover_qcap and recover_blocks:
                 # Spilled-pair recovery (IVFIndex._cm_recover, sharded form):
@@ -753,19 +802,59 @@ class ShardedIVFIndex:
                 ).astype(jnp.int32)
 
             if alpha is not None:
-                pv = alpha * pv  # −inf stays −inf
+                if pv is not None:
+                    pv = alpha * pv  # −inf stays −inf
                 if extra is not None:
                     extra = (alpha * extra[0], extra[1])
             elif metric == "l2":
-                pv = 2.0 * pv
+                if pv is not None:
+                    pv = 2.0 * pv
                 if extra is not None:
                     extra = (2.0 * extra[0], extra[1])
 
             # Join over locally-owned, recorded, non-empty pairs only.
             ok = (slot >= 0) & owned & (sizes[probes] > 0)
             sl = jnp.clip(slot, 0)
-            gv = jnp.where(ok[..., None], pv[probes, sl], _NEG_INF).reshape(b, -1)
-            gr = pr[probes, sl].reshape(b, -1)
+            if engine == "pallas_accum":
+                # Planes join + row decode (the single-chip
+                # _cm_finish_planes, per shard): gather each owned pair's
+                # packed planes from its cluster's LOCAL last block, top-kk
+                # the pool, decode local padded rows from the keys.
+                kmin = jnp.int32(pallas_ivf_dma.KMIN)
+                cmax = pallas_ivf_dma.CODE_MAX
+                w = pp.shape[2]
+                tl = jnp.clip(lb[probes], 0)  # [b, P] local last blocks
+                flat = (tl * pp.shape[1] + sl).reshape(-1)
+                gp = jnp.take(pp.reshape(-1, w), flat, axis=0).reshape(b, -1, w)
+                gp = jnp.where(ok[..., None], gp, kmin)
+                pool = gp.shape[1] * w
+                if b * pool >= 8 << 20:  # fused VMEM-resident selection
+                    vals_p, selp = pallas_topk.fused_topk(
+                        gp.reshape(b, pool), min(kk, pool))
+                else:  # below ~8M pool entries XLA is cheaper
+                    vals_p, selp = topk_ops.small_topk(
+                        gp.reshape(b, pool), min(kk, pool))
+                valid = vals_p > kmin
+                pi = selp // w
+                lane = (selp % w) & jnp.int32(127)
+                cid = vals_p & jnp.int32(cmax - 1)
+                codeb = jax.lax.shift_right_logical(vals_p, 4) & jnp.int32(cmax - 1)
+                tsel = jnp.take_along_axis(tl, pi, axis=1)
+                dd = ((tsel & (cmax - 1))
+                      - (jnp.int32(cmax - 1) - codeb)) & jnp.int32(cmax - 1)
+                gr = (tsel - dd) * blk + cid * 128 + lane
+                if alpha is not None:
+                    gv = alpha * jax.lax.shift_right_arithmetic(
+                        vals_p, 8).astype(jnp.float32)
+                else:
+                    gv = pallas_ivf_dma._key_to_f32(vals_p)
+                    if metric == "l2":
+                        gv = 2.0 * gv  # augmented scores are l2_score/2
+                gv = jnp.where(valid, gv, _NEG_INF)
+                gr = jnp.where(valid, gr, 0)
+            else:
+                gv = jnp.where(ok[..., None], pv[probes, sl], _NEG_INF).reshape(b, -1)
+                gr = pr[probes, sl].reshape(b, -1)
             if extra is not None:
                 gv = jnp.concatenate([gv, extra[0]], axis=1)
                 gr = jnp.concatenate([gr, extra[1]], axis=1)
@@ -811,25 +900,27 @@ class ShardedIVFIndex:
             P(axis, None),  # reorder_c
             P(axis, None), P(axis, None),  # po, co offset maps
             P(axis, None), P(axis, None), P(axis, None), P(axis, None),  # tables
+            P(axis, None),  # lb (local last block per global cluster)
             P(axis, None),  # norms_pad (int8-L2 kernel bias)
             P(None),  # cluster_shard
             P(None),  # sizes
         )
 
         def fn(q, cents, c_norms, vecs_t, vecs_c, norms_c, reorder_c,
-               po, co, bc, bf, bl, rv, norms_pad,
+               po, co, bc, bf, bl, rv, lb, norms_pad,
                cluster_shard, sizes, k, nprobe, qcap,
-               recover_qcap, recover_blocks, recover_passes):
+               recover_qcap, recover_blocks, recover_passes, engine):
             body = functools.partial(shard_body, k=k, nprobe=nprobe, qcap=qcap,
                                      recover_qcap=recover_qcap,
                                      recover_blocks=recover_blocks,
-                                     recover_passes=recover_passes)
+                                     recover_passes=recover_passes,
+                                     engine=engine)
             return jax.shard_map(
                 body, mesh=self.mesh, in_specs=in_specs,
                 out_specs=(P(None, None), P(None, None), P(None), P(None)),
                 check_vma=False,
             )(q, cents, c_norms, vecs_t, vecs_c, norms_c, reorder_c,
-              po, co, bc, bf, bl, rv, norms_pad, cluster_shard, sizes)
+              po, co, bc, bf, bl, rv, lb, norms_pad, cluster_shard, sizes)
 
         return fn
 
@@ -913,17 +1004,30 @@ class ShardedIVFIndex:
                       recover: bool | None = None,
                       recover_qcap: int | None = None,
                       recover_blocks: int | None = None,
-                      recover_passes: int | None = None):
+                      recover_passes: int | None = None,
+                      engine: str = "auto"):
         """mode "query": per-shard gather fine scan (exact).  mode
         "cluster": per-shard cluster-major Pallas kernel (binned + fp32
         rescore) — the batch-scale path.  ``recover`` enables the
         spilled-pair recovery pass per shard (default: on exactly when the
         auto-qcap heuristic is clamped into the spilling regime, as on the
-        single-chip index)."""
+        single-chip index).  ``engine`` (cluster mode): "auto" picks the
+        accum planes kernel where the layout allows (the single-chip
+        flagship) and the grouped-walk kernel otherwise; "pallas_accum" /
+        "pallas" force one."""
         c_norms = self._centroid_norms if self.coarse_metric == "l2" else jnp.zeros(())
         if mode == "cluster":
             self._ensure_cluster_state()
             a = self._cm_arrays
+            if engine == "auto":
+                engine = "pallas_accum" if self._cm_accum_ok else "pallas"
+            elif engine == "pallas_accum" and not self._cm_accum_ok:
+                raise ValueError(
+                    "engine='pallas_accum' layout limits not met (cluster "
+                    "block span, pad_block, or int8 dim cap) — use "
+                    "engine='pallas'")
+            elif engine not in ("pallas", "pallas_accum"):
+                raise ValueError(f"unknown sharded cluster engine {engine!r}")
             if recover is None:
                 recover = self._src_index._auto_recover(queries.shape[0], nprobe)
             rq = rb = 0
@@ -938,11 +1042,12 @@ class ShardedIVFIndex:
                 queries, self._centroids, c_norms,
                 a["vectors_t"], a["vectors_c"], a["norms_c"], a["reorder_c"],
                 a["po"], a["co"], a["bc"], a["bf"], a["bl"], a["rv"],
-                a["norms_pad"], a["cluster_shard"], a["sizes"],
+                a["lb"], a["norms_pad"], a["cluster_shard"], a["sizes"],
                 k, nprobe, qcap or self._auto_qcap(queries.shape[0], nprobe),
-                rq, rb, rp,
+                rq, rb, rp, engine,
             )
             self.last_spill = spill[0]
+            self.last_engine = engine
             return vals, ids, ncand
         self._ensure_query_state()
         qa = self._qm_arrays
@@ -955,7 +1060,8 @@ class ShardedIVFIndex:
         )
 
     def search(self, queries: np.ndarray, k: int, nprobe: int = 16,
-               batch_size: int | None = None, mode: str = "query"):
+               batch_size: int | None = None, mode: str = "query",
+               engine: str = "auto"):
         """Host API → (ids [Q,k] i32, scores [Q,k] f32, avg_candidates float)."""
         queries = np.asarray(queries, dtype=np.float32)
         nq = queries.shape[0]
@@ -968,7 +1074,8 @@ class ShardedIVFIndex:
             pad = bs - chunk.shape[0]
             if pad:
                 chunk = np.pad(chunk, ((0, pad), (0, 0)))
-            vals, ids, ncand = self.search_device(jnp.asarray(chunk), k, nprobe, mode=mode)
+            vals, ids, ncand = self.search_device(jnp.asarray(chunk), k, nprobe,
+                                                  mode=mode, engine=engine)
             got = bs - pad
             ids_out[start : start + got] = np.asarray(ids)[:got]
             scores_out[start : start + got] = np.asarray(vals)[:got]

@@ -13,8 +13,11 @@ batch size; see ``IVFIndex.compile``).  This executor is that glue:
   batches — a batch launches when full or when the oldest request exceeds
   ``max_delay_ms`` (the classic size-or-deadline policy) — and enqueues
   the in-flight device call WITHOUT waiting for it;
-- a COLLECT thread materializes each batch's results ONCE and broadcasts
-  a single condition notify; callers slice their own rows out in
+- a COLLECT thread drains every in-flight batch and materializes ALL of
+  their results in one ``device_get`` round trip (on the axon relay each
+  synchronous fetch costs a ~29-42 ms round trip REGARDLESS of payload —
+  fetching per batch was the serving ceiling), then broadcasts one
+  condition notify per drain; callers slice their own rows out in
   ``result()``.
 
 Keeping up to ``inflight`` batches in flight overlaps host marshalling,
@@ -420,17 +423,51 @@ class BatchingExecutor:
             self._cond.notify_all()
 
     def _collect_loop(self) -> None:
-        while True:
-            item = self._inflight.get()
+        get, get_nowait = self._inflight.get, self._inflight.get_nowait
+        done = False
+        while not done:
+            item = get()
             if item is None:
                 return
-            rec, out = item
-            try:
+            items = [item]
+            # Drain every batch already in flight and fetch ALL of their
+            # results in ONE device_get: on the axon relay a synchronous
+            # fetch is a ~29-42 ms ROUND TRIP regardless of payload size,
+            # so the previous one-fetch-per-batch loop capped serving at
+            # ~1/42ms ≈ 24 batches/s (63K QPS at B=4096) while the device
+            # finished each batch in ~10 ms.  Under load the drain batches
+            # up to `inflight` fetches per round trip; at low load it
+            # degrades to the old per-batch behavior (no added latency).
+            while True:
+                try:
+                    nxt = get_nowait()
+                except queue_mod.Empty:
+                    break
+                if nxt is None:
+                    done = True  # close(): finish what we hold, then exit
+                    break
+                items.append(nxt)
+            flats, defs = [], []
+            for _, out in items:
                 leaves, treedef = jax.tree_util.tree_flatten(out)
-                # ONE fetch for the whole pytree (see the dispatch note);
-                # per-leaf np.asarray costs a sync round trip per leaf.
-                rec.leaves = jax.device_get(leaves)
-                rec.unflatten = treedef.unflatten
-            except Exception as e:
-                rec.exc = e
-            self._resolve(rec)
+                flats.append(leaves)
+                defs.append(treedef)
+            try:
+                fetched = jax.device_get(flats)
+            except Exception:
+                fetched = None  # isolate the poisoned batch below
+            if fetched is None:
+                for (rec, _), leaves, treedef in zip(items, flats, defs):
+                    try:
+                        rec.leaves = jax.device_get(leaves)
+                        rec.unflatten = treedef.unflatten
+                    except Exception as e:
+                        rec.exc = e
+                    self._resolve(rec)
+            else:
+                with self._cond:  # one broadcast for the whole drain
+                    for (rec, _), leaves, treedef in zip(items, fetched, defs):
+                        rec.leaves = leaves
+                        rec.unflatten = treedef.unflatten
+                        rec.ready = True
+                    self._cond.notify_all()

@@ -283,3 +283,51 @@ def test_sharded_compact_spill_recovery(small_data, mesh):
     assert int(np.asarray(sharded.last_spill)) == 0
     gt = ground_truth(base, queries, 10, metric="l2", backend="numpy")
     assert recall_at_k(np.asarray(ids), gt, 10) >= 0.9
+
+
+@pytest.mark.parametrize("metric,dtype", [("ip", "int8"), ("l2", "int8"),
+                                          ("l2", "fp32")])
+def test_sharded_accum_engine_matches_grouped(small_data, mesh, metric, dtype):
+    """The planes-emit accum engine inside shard_map (the single-chip
+    flagship kernel) must agree with the grouped-walk engine on the same
+    shards, and both track the exact single-chip search.  `last_engine`
+    records which kernel ran (engine attribution, VERDICT r2 item 7)."""
+    base, queries = small_data
+    single = IVFIndex.build(base, nlist=16, metric=metric, dtype=dtype,
+                            seed=42, max_iter=10)
+    sharded = ShardedIVFIndex(single, mesh)
+    ids_a, v_a, c_a = sharded.search(queries, k=10, nprobe=16, mode="cluster")
+    assert sharded._cm_accum_ok  # small fixture fits the accum layout gates
+    assert sharded.last_engine == "pallas_accum"  # the auto default
+    ids_g, v_g, c_g = sharded.search(queries, k=10, nprobe=16, mode="cluster",
+                                     engine="pallas")
+    assert sharded.last_engine == "pallas"
+    assert c_a == c_g  # same probes → same candidate accounting
+    assert recall_at_k(ids_a, ids_g, 10) >= 0.99
+    agree = ids_a == ids_g
+    np.testing.assert_allclose(v_a[agree], v_g[agree], rtol=1e-4)
+    ids_s, _, _ = single.search(queries, k=10, nprobe=16, mode="query")
+    assert recall_at_k(ids_a, ids_s, 10) >= 0.95
+
+
+def test_sharded_accum_spill_recovery(small_data, mesh):
+    """Accum main pass + grouped recovery pass (the single-chip pairing)
+    must reach zero residual spill and full-qcap results."""
+    import jax.numpy as jnp
+    base, queries = small_data
+    single = IVFIndex.build(base, nlist=16, metric="l2", dtype="int8",
+                            seed=42, max_iter=10)
+    sharded = ShardedIVFIndex(single, mesh)
+    q = jnp.asarray(queries)
+    b = q.shape[0]
+    v_ref, i_ref, _ = sharded.search_device(
+        q, k=10, nprobe=8, mode="cluster", qcap=b, recover=False,
+        engine="pallas_accum")
+    assert int(sharded.last_spill) == 0
+    nblocks_local = sharded._cm_arrays["vectors_t"].shape[1]
+    v1, i1, _ = sharded.search_device(
+        q, k=10, nprobe=8, mode="cluster", qcap=8, recover=True,
+        recover_qcap=b, recover_blocks=nblocks_local, recover_passes=2,
+        engine="pallas_accum")
+    assert int(sharded.last_spill) == 0
+    assert recall_at_k(np.asarray(i1), np.asarray(i_ref), 10) >= 0.99
