@@ -85,6 +85,32 @@ def _ivf_1m(batch: int = 8192, nprobe: int = 4, k: int = 10):
     return round(qps, 1), round(float(recall), 4), round(float(recall1), 4)
 
 
+def _ivf_1m_pb512(batch: int = 8192, nprobe: int = 4, k: int = 10):
+    """The pad_block=512 variant of the headline workload (same accum
+    engine, 4x less block padding — a recall-vs-QPS dial, RESULTS.md)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rag_on_edge_tpu.harness import timing
+    from rag_on_edge_tpu.harness.bench_ivf import build_or_load_index
+    from rag_on_edge_tpu.utils.datasets import load_dataset
+    from rag_on_edge_tpu.utils.metrics import recall_at_k
+
+    ds = load_dataset("sift", gt_k=max(k, 10))
+    idx = build_or_load_index(ds, nlist=1024, metric="l2", dtype="int8",
+                              pad_block=512)
+    nr = min(ds.queries.shape[0], batch)
+    qs = np.resize(ds.queries, (batch, ds.queries.shape[1]))
+    f = lambda x: idx.search_device(x, k, nprobe, mode="cluster")  # noqa: E731
+    _, ids, _ = jax.block_until_ready(f(jnp.asarray(qs)))
+    recall = recall_at_k(np.asarray(ids)[:nr], ds.ground_truth_l2[:nr], k)
+    recall1 = recall_at_k(np.asarray(ids)[:nr, :1], ds.ground_truth_l2[:nr, :1], 1)
+    batches = [jnp.asarray(b) for b in timing.unique_variants([qs], copies=4)]
+    qps = timing.measure_throughput(f, batches, repeats=3)
+    return round(qps, 1), round(float(recall), 4), round(float(recall1), 4)
+
+
 def _brute_1m_exact(batch: int = 8192, k: int = 10):
     """EXACT-contract brute force on SIFT-1M: the class default
     (accum engine + fp32 rescore, ``models/brute_force.py``) — the
@@ -158,7 +184,22 @@ def main() -> None:
     if out["value"] is not None:
         _emit(out)
 
-    # Secondary 1: exact-contract SIFT-1M brute force (class defaults).
+    # Secondary 1: the pad_block=512 dial point of the SAME headline
+    # workload — the accum engine still engages at nlist=1024 (clusters
+    # span <= 16 blocks of 512) and scans 4x less block padding:
+    # measured 672K @ recall 0.990 vs 2048's 577K @ 0.9948 (RESULTS.md).
+    if _remaining() > 180:
+        try:
+            pq, pr10, pr1 = _ivf_1m_pb512()
+            out["sift1m_ivf_pb512_qps_b8192_np4"] = pq
+            out["sift1m_ivf_pb512_recall_at_10"] = pr10
+            out["sift1m_ivf_pb512_recall_at_1"] = pr1
+        except Exception as e:
+            out["error_ivf_pb512"] = repr(e)
+    else:
+        out["skipped_ivf_pb512"] = "budget"
+
+    # Secondary 2: exact-contract SIFT-1M brute force (class defaults).
     if _remaining() > 120:
         try:
             bq, br = _brute_1m_exact()
@@ -169,7 +210,7 @@ def main() -> None:
     else:
         out["skipped_brute_1m"] = "budget"
 
-    # Secondary 2: the reference's flagship SIFT-small config
+    # Secondary 3: the reference's flagship SIFT-small config
     # (relay-weather sensitive — see module docstring).
     if _remaining() > 90:
         try:

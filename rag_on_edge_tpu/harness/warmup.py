@@ -65,6 +65,13 @@ def main() -> int:
     jax.block_until_ready(idx.search_device(qs, 10, 4, mode="cluster"))
     _done(t)
 
+    t = _stage("1M IVF pb=512 variant build/load + compile (672K dial point)")
+    idx512 = build_or_load_index(ds, nlist=1024, metric="l2", dtype="int8",
+                                 pad_block=512)
+    jax.block_until_ready(idx512.search_device(qs, 10, 4, mode="cluster"))
+    del idx512
+    _done(t)
+
     t = _stage("compile+run: exact brute 1M (accum+rescore) B=8192 k=10")
     brute = BruteForceIndex(ds.base, metric="l2", dtype="int8")
     jax.block_until_ready(brute.search_device(qs, 10))
