@@ -40,15 +40,21 @@ from rag_on_edge_tpu.utils.datasets import load_dataset
 
 def run(dataset: str = "sift", batch: int = 2048, nprobe: int = 4, k: int = 10,
         requests: int = 20000, max_delay_ms: float = 5.0, inflight: int = 8,
-        quiet: bool = False) -> dict:
+        recover_passes: int | None = None, quiet: bool = False) -> dict:
     from rag_on_edge_tpu.harness.bench_ivf import build_or_load_index
 
     ds = load_dataset(dataset, gt_k=k)
     pad_block = 2048 if ds.base.shape[0] >= 500_000 else None
     index = build_or_load_index(ds, nlist=None, metric="l2", dtype="int8",
                                 pad_block=pad_block)
-    index.compile(batch, k, nprobe, mode="cluster")
-    fn = lambda q: index.search_device(q, k, nprobe, mode="cluster")  # noqa: E731
+    # recover_passes: the auto heuristic scales passes with batch, which
+    # at B>=32K picks multi-pass recovery programs; at nprobe<=4 residual
+    # spill is recall-neutral (RESULTS round 2), so serving configs pin
+    # recover_passes=1 for max throughput.
+    rp = recover_passes
+    index.compile(batch, k, nprobe, mode="cluster", recover_passes=rp)
+    fn = lambda q: index.search_device(q, k, nprobe, mode="cluster",  # noqa: E731
+                                       recover_passes=rp)
 
     nq = ds.queries.shape[0]
     reqs = np.resize(ds.queries, (requests, ds.queries.shape[1])).astype(np.float32)
@@ -248,6 +254,9 @@ def main(argv=None) -> None:
     p.add_argument("--requests", type=int, default=20000)
     p.add_argument("--max-delay-ms", type=float, default=5.0)
     p.add_argument("--inflight", type=int, default=8)
+    p.add_argument("--recover-passes", type=int, default=None,
+                   help="pin recovery passes (auto scales with batch; "
+                        "serving configs at nprobe<=4 want 1)")
     p.add_argument("--open-loop", action="store_true",
                    help="latency-vs-offered-load curve (Poisson arrivals at "
                         "--loads fractions of measured capacity)")
@@ -267,7 +276,8 @@ def main(argv=None) -> None:
         r = run(dataset=args.dataset, batch=args.batch, nprobe=args.nprobe,
                 k=args.k, requests=args.requests,
                 max_delay_ms=args.max_delay_ms,
-                inflight=args.inflight, quiet=args.json)
+                inflight=args.inflight, recover_passes=args.recover_passes,
+                quiet=args.json)
     if args.json:
         print(json.dumps(r))
 

@@ -1426,10 +1426,12 @@ class IVFIndex:
         return ids_out, scores_out, total_cand / nq
 
     def compile(self, batch_size: int, k: int, nprobe: int, mode: str = "auto",
-                engine: str = "auto", recover: bool | None = None) -> None:
+                engine: str = "auto", recover: bool | None = None,
+                recover_passes: int | None = None) -> None:
         dummy = jnp.zeros((batch_size, self.dim), dtype=jnp.float32)
         jax.block_until_ready(self.search_device(dummy, k, nprobe, mode=mode,
-                                                 engine=engine, recover=recover))
+                                                 engine=engine, recover=recover,
+                                                 recover_passes=recover_passes))
 
     # ------------------------------------------------------------ persistence
 
