@@ -190,7 +190,10 @@ def run(
             ids, scores, avg_cand = searcher.search(
                 ds.queries, k=k, nprobe=nprobe, batch_size=batch, mode=mode,
             )
-            engine = f"sharded[{searcher.n_shards}]:{mode}"
+            # Attribution includes the in-shard kernel (accum vs grouped
+            # is an auto layout-dependent pick, VERDICT r2 item 7).
+            engine = (f"sharded[{searcher.n_shards}]:{mode}"
+                      f":{searcher.last_engine or 'gather'}")
         else:
             ids, scores, avg_cand = index.search(
                 ds.queries, k=k, nprobe=nprobe, batch_size=batch, mode=mode,
