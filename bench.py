@@ -25,13 +25,24 @@ every number because the old script printed once at exit):
   pre-compiles every program this script runs into the persistent cache,
   so the driver run pays no cold remote compiles.
 
-Secondary sections: the EXACT-contract SIFT-1M brute force (default
-accum + fp32 rescore — the like-for-like comparable to the reference's
-exact-by-construction brute force, ``main.cpp:36-57``) and the
-reference's flagship SIFT-small INT8 config (5208 QPS on Snapdragon
-8 Gen 2 HTP, README.md:143).  The SIFT-small stream numbers swing with
-relay sync cost (70K-637K across identical code) — report, never
-headline.
+Secondary sections, in value order:
+
+1. **SIFT-10M flagship** (nlist=4096, spill_eps=0.1, np=8, compact
+   store) — LOADS the cached index only; a missing cache skips the
+   section (the build is ~45 min — run sweep10m or warmup first).
+2. **Serving executor**: singleton submits through the BatchingExecutor
+   at B=16384 (saturated protocol), plus a serialized relay-cycle probe
+   (ms/batch) so "tunnel weather" is part of the record — capacity ≈
+   B / cycle on this relay (RESULTS.md round-3 serving model).
+3. The pad_block=512 dial point of the headline workload.
+4. SIFT-1M brute force: the default 2k-rescored config
+   (``brute_rescored``, recall ≈ 0.998) AND the deeper-pool config that
+   restores the reference's exact-by-construction contract
+   (``main.cpp:36-57``) — see RESULTS.md pool-depth study.
+5. The reference's flagship SIFT-small INT8 config (5208 QPS on
+   Snapdragon 8 Gen 2 HTP, README.md:143).  Stream numbers swing with
+   relay sync cost (70K-637K across identical code) — report, never
+   headline.
 """
 
 import json
@@ -42,6 +53,9 @@ import time
 REFERENCE_QPS = 5208.0   # reference README.md:143 (batch=32 INT8 brute force)
 TARGET_IVF_QPS = 100_000.0  # BASELINE.json north star, per v5e chip
 BUDGET_S = float(os.environ.get("RAG_EDGE_BENCH_BUDGET_S", "900"))
+# Rescore pool depth that restores >= 0.9999 recall@10 on SIFT-1M int8
+# accum (pool-depth study, RESULTS.md round 4).
+BRUTE_EXACT_DEPTH = 8
 
 _T0 = time.monotonic()
 
@@ -54,30 +68,23 @@ def _emit(out: dict) -> None:
     print(json.dumps(out), flush=True)
 
 
-def _ivf_1m(batch: int = 8192, nprobe: int = 4, k: int = 10):
-    """SIFT-1M IVF capacity point — see RESULTS.md batch-scaling table."""
+def _measure_search(idx, ds, batch: int, k: int, search_kw: dict):
+    """Shared measurement body: recall over the batch's distinct query
+    rows + sustained throughput over distinct-input variants (relay
+    caching — harness/timing.py)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from rag_on_edge_tpu.harness import timing
-    from rag_on_edge_tpu.harness.bench_ivf import build_or_load_index
-    from rag_on_edge_tpu.utils.datasets import load_dataset
     from rag_on_edge_tpu.utils.metrics import recall_at_k
 
-    ds = load_dataset("sift", gt_k=max(k, 10))
-    # ONE canonical 1M index (build_or_load_index owns the config and the
-    # on-disk cache): BENCH_rNN and the harness/RESULTS.md sweeps quote
-    # the same artifact.
-    idx = build_or_load_index(ds, nlist=1024, metric="l2", dtype="int8",
-                              pad_block=2048)
-    # Recall over the distinct query rows the batch actually holds
-    # (np.resize repeats rows when batch > nq; truncates when batch < nq).
     nr = min(ds.queries.shape[0], batch)
     qs = np.resize(ds.queries, (batch, ds.queries.shape[1]))
+    f = lambda x: idx.search_device(x, k, **search_kw)  # noqa: E731
+    out = jax.block_until_ready(f(jnp.asarray(qs)))
+    ids = out[1]
     gt = ds.ground_truth_l2
-    f = lambda x: idx.search_device(x, k, nprobe, mode="cluster")  # noqa: E731
-    _, ids, _ = jax.block_until_ready(f(jnp.asarray(qs)))
     recall = recall_at_k(np.asarray(ids)[:nr], gt[:nr], k)
     recall1 = recall_at_k(np.asarray(ids)[:nr, :1], gt[:nr, :1], 1)
     batches = [jnp.asarray(b) for b in timing.unique_variants([qs], copies=4)]
@@ -85,55 +92,74 @@ def _ivf_1m(batch: int = 8192, nprobe: int = 4, k: int = 10):
     return round(qps, 1), round(float(recall), 4), round(float(recall1), 4)
 
 
-def _ivf_1m_pb512(batch: int = 8192, nprobe: int = 4, k: int = 10):
-    """The pad_block=512 variant of the headline workload (same accum
-    engine, 4x less block padding — a recall-vs-QPS dial, RESULTS.md)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from rag_on_edge_tpu.harness import timing
+def _ivf_1m(pad_block: int, batch: int = 8192, nprobe: int = 4, k: int = 10):
+    """SIFT-1M IVF capacity point (pad_block is the recall-vs-QPS dial:
+    2048 = headline 577K @ 0.9948, 512 = 672K @ 0.9900 — RESULTS.md)."""
     from rag_on_edge_tpu.harness.bench_ivf import build_or_load_index
     from rag_on_edge_tpu.utils.datasets import load_dataset
-    from rag_on_edge_tpu.utils.metrics import recall_at_k
 
     ds = load_dataset("sift", gt_k=max(k, 10))
+    # ONE canonical 1M index per pad_block (build_or_load_index owns the
+    # config and the on-disk cache): BENCH_rNN and the harness/RESULTS.md
+    # sweeps quote the same artifact.
     idx = build_or_load_index(ds, nlist=1024, metric="l2", dtype="int8",
-                              pad_block=512)
-    nr = min(ds.queries.shape[0], batch)
-    qs = np.resize(ds.queries, (batch, ds.queries.shape[1]))
-    f = lambda x: idx.search_device(x, k, nprobe, mode="cluster")  # noqa: E731
-    _, ids, _ = jax.block_until_ready(f(jnp.asarray(qs)))
-    recall = recall_at_k(np.asarray(ids)[:nr], ds.ground_truth_l2[:nr], k)
-    recall1 = recall_at_k(np.asarray(ids)[:nr, :1], ds.ground_truth_l2[:nr, :1], 1)
-    batches = [jnp.asarray(b) for b in timing.unique_variants([qs], copies=4)]
-    qps = timing.measure_throughput(f, batches, repeats=3)
-    return round(qps, 1), round(float(recall), 4), round(float(recall1), 4)
+                              pad_block=pad_block)
+    return _measure_search(idx, ds, batch, k,
+                           {"nprobe": nprobe, "mode": "cluster"})
 
 
-def _brute_1m_exact(batch: int = 8192, k: int = 10):
-    """EXACT-contract brute force on SIFT-1M: the class default
-    (accum engine + fp32 rescore, ``models/brute_force.py``) — the
-    like-for-like number against the reference's exact brute force."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
+def _sift10m(batch: int = 8192, nprobe: int = 8, k: int = 10):
+    """SIFT-10M flagship (nlist=4096, spill_eps=0.1, compact store) —
+    cached artifacts ONLY; raises FileNotFoundError when absent so the
+    driver bench can never trigger the ~45-min build."""
+    from rag_on_edge_tpu.harness.bench_ivf import DEFAULT_DATA_ROOT, build_or_load_index
+    from rag_on_edge_tpu.utils.datasets import load_dataset
 
-    from rag_on_edge_tpu.harness import timing
+    cache = os.path.join(
+        DEFAULT_DATA_ROOT, "sift10m",
+        "ivf_nlist4096_l2_int8_seed42_pb2048_pp_sp0.1", "ivf_config.json")
+    if not os.path.exists(cache):
+        raise FileNotFoundError(
+            f"cached 10M index missing ({cache}) — run sweep10m first")
+    ds = load_dataset("sift10m", gt_k=max(k, 10))
+    idx = build_or_load_index(ds, nlist=4096, metric="l2", dtype="int8",
+                              pad_block=2048, store="compact", spill_eps=0.1)
+    return _measure_search(idx, ds, batch, k,
+                           {"nprobe": nprobe, "mode": "cluster"})
+
+
+def _serving(batch: int = 16384, requests: int = 131072, nprobe: int = 4,
+             k: int = 10):
+    """End-to-end serving: singleton submits through the BatchingExecutor
+    (saturated protocol) + the serialized relay-cycle probe that prices
+    this window's relay weather (capacity ≈ B / cycle)."""
+    from rag_on_edge_tpu.harness import bench_executor
+    from rag_on_edge_tpu.harness.bench_ivf import build_or_load_index
+    from rag_on_edge_tpu.utils.datasets import load_dataset
+
+    ds = load_dataset("sift", gt_k=k)
+    idx = build_or_load_index(ds, nlist=1024, metric="l2", dtype="int8",
+                              pad_block=2048)
+    fn = lambda q: idx.search_device(  # noqa: E731
+        q, k, nprobe, mode="cluster", recover_passes=1)
+    cycle_ms = bench_executor.relay_cycle_probe(fn, ds.base.shape[1], batch)
+    r = bench_executor.run(dataset="sift", batch=batch, nprobe=nprobe, k=k,
+                           requests=requests, recover_passes=1, quiet=True)
+    return r, round(cycle_ms, 1)
+
+
+def _brute_1m(batch: int = 8192, k: int = 10, rescore_depth: int = 2):
+    """SIFT-1M brute force (accum engine + fp32 rescore).  Depth 2 is the
+    class default (recall@10 ≈ 0.998); BRUTE_EXACT_DEPTH restores the
+    reference's exact-by-construction contract (``main.cpp:36-57``)."""
     from rag_on_edge_tpu.models.brute_force import BruteForceIndex
     from rag_on_edge_tpu.utils.datasets import load_dataset
-    from rag_on_edge_tpu.utils.metrics import recall_at_k
 
     ds = load_dataset("sift", gt_k=max(k, 10))
-    index = BruteForceIndex(ds.base, metric="l2", dtype="int8")  # defaults
-    nr = min(ds.queries.shape[0], batch)
-    qs = np.resize(ds.queries, (batch, ds.queries.shape[1]))
-    f = lambda x: index.search_device(x, k)  # noqa: E731
-    _, ids = jax.block_until_ready(f(jnp.asarray(qs)))
-    recall = recall_at_k(np.asarray(ids)[:nr], ds.ground_truth_l2[:nr], k)
-    batches = [jnp.asarray(b) for b in timing.unique_variants([qs], copies=4)]
-    qps = timing.measure_throughput(f, batches, repeats=3)
-    return round(qps, 1), round(float(recall), 4)
+    index = BruteForceIndex(ds.base, metric="l2", dtype="int8",
+                            rescore_depth=rescore_depth)
+    q, r10, _ = _measure_search(index, ds, batch, k, {})
+    return q, r10
 
 
 def _stream_qps(micro_batches: int = 16, batch: int = 32, k: int = 5) -> float:
@@ -172,7 +198,7 @@ def main() -> None:
         "vs_baseline": None,
     }
     try:
-        ivf_qps, ivf_recall, ivf_recall1 = _ivf_1m()
+        ivf_qps, ivf_recall, ivf_recall1 = _ivf_1m(pad_block=2048)
         out["value"] = ivf_qps
         out["vs_baseline"] = round(ivf_qps / TARGET_IVF_QPS, 3)
         out["sift1m_ivf_recall_at_10"] = ivf_recall
@@ -184,13 +210,43 @@ def main() -> None:
     if out["value"] is not None:
         _emit(out)
 
-    # Secondary 1: the pad_block=512 dial point of the SAME headline
+    # Secondary 1: the SIFT-10M flagship (cached artifacts only) —
+    # driver-captured evidence for the number RESULTS.md reports
+    # (0.9949 recall@10 @ 324K QPS, nlist=4096/eps=0.1/np=8).
+    if _remaining() > 360:
+        try:
+            tq, tr10, tr1 = _sift10m()
+            out["sift10m_qps_b8192_np8"] = tq
+            out["sift10m_recall_at_10"] = tr10
+            out["sift10m_recall_at_1"] = tr1
+        except FileNotFoundError as e:
+            out["skipped_sift10m"] = f"no cached index: {e}"
+        except Exception as e:
+            out["error_sift10m"] = repr(e)
+    else:
+        out["skipped_sift10m"] = "budget"
+    _emit(out)  # checkpoint: 10M evidence survives a later timeout
+
+    # Secondary 2: serving executor at B=16384 + relay-cycle probe.
+    if _remaining() > 240:
+        try:
+            r, cycle_ms = _serving()
+            out["serving_qps"] = r["qps_end_to_end"]
+            out["serving_recall_at_10"] = r["recall"]
+            out["serving_batch"] = r["batch"]
+            out["relay_cycle_ms_b16384"] = cycle_ms
+        except Exception as e:
+            out["error_serving"] = repr(e)
+    else:
+        out["skipped_serving"] = "budget"
+
+    # Secondary 3: the pad_block=512 dial point of the SAME headline
     # workload — the accum engine still engages at nlist=1024 (clusters
     # span <= 16 blocks of 512) and scans 4x less block padding:
     # measured 672K @ recall 0.990 vs 2048's 577K @ 0.9948 (RESULTS.md).
     if _remaining() > 180:
         try:
-            pq, pr10, pr1 = _ivf_1m_pb512()
+            pq, pr10, pr1 = _ivf_1m(pad_block=512)
             out["sift1m_ivf_pb512_qps_b8192_np4"] = pq
             out["sift1m_ivf_pb512_recall_at_10"] = pr10
             out["sift1m_ivf_pb512_recall_at_1"] = pr1
@@ -199,18 +255,29 @@ def main() -> None:
     else:
         out["skipped_ivf_pb512"] = "budget"
 
-    # Secondary 2: exact-contract SIFT-1M brute force (class defaults).
-    if _remaining() > 120:
+    # Secondary 4: SIFT-1M brute force — the default rescored config and
+    # the exact-contract pool depth (RESULTS.md pool-depth study).
+    if _remaining() > 150:
         try:
-            bq, br = _brute_1m_exact()
-            out["sift1m_brute_exact_qps_b8192"] = bq
-            out["sift1m_brute_exact_recall_at_10"] = br
+            bq, br = _brute_1m(rescore_depth=2)
+            out["sift1m_brute_rescored_qps_b8192"] = bq
+            out["sift1m_brute_rescored_recall_at_10"] = br
         except Exception as e:
             out["error_brute_1m"] = repr(e)
     else:
         out["skipped_brute_1m"] = "budget"
+    if _remaining() > 120:
+        try:
+            bq, br = _brute_1m(rescore_depth=BRUTE_EXACT_DEPTH)
+            out["sift1m_brute_exact_qps_b8192"] = bq
+            out["sift1m_brute_exact_recall_at_10"] = br
+            out["sift1m_brute_exact_rescore_depth"] = BRUTE_EXACT_DEPTH
+        except Exception as e:
+            out["error_brute_exact"] = repr(e)
+    else:
+        out["skipped_brute_exact"] = "budget"
 
-    # Secondary 3: the reference's flagship SIFT-small config
+    # Secondary 5: the reference's flagship SIFT-small config
     # (relay-weather sensitive — see module docstring).
     if _remaining() > 90:
         try:

@@ -109,6 +109,28 @@ def run(dataset: str = "sift", batch: int = 2048, nprobe: int = 4, k: int = 10,
     return out
 
 
+def relay_cycle_probe(fn, dim: int, batch: int, cycles: int = 4,
+                      seed: int = 0) -> float:
+    """Serialized upload→execute→fetch cost, ms per batch (the "weather"
+    reading).  Each cycle uploads a DISTINCT host batch, runs ``fn`` and
+    fetches the full result before the next starts — no pipelining, so
+    the number is the per-interaction relay latency serving capacity
+    divides by (capacity ≈ B / cycle).  Identical inputs can be served
+    from a relay cache (harness/timing.py), hence fresh randoms per
+    cycle; the first (warm) cycle is dropped."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    qs = rng.uniform(0.0, 100.0, size=(cycles + 1, batch, dim)).astype(np.float32)
+    times = []
+    for i in range(cycles + 1):
+        t0 = time.perf_counter()
+        jax.device_get(fn(jnp.asarray(qs[i])))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times[1:]) * 1e3)
+
+
 def run_open_loop(ex, reqs: np.ndarray, rate_qps: float, max_delay_ms: float,
                   seed: int = 0) -> dict:
     """One open-loop run: Poisson arrivals at ``rate_qps`` through an

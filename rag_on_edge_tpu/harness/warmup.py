@@ -21,6 +21,7 @@ index artifacts, compile cache are all persistent).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -72,10 +73,43 @@ def main() -> int:
     del idx512
     _done(t)
 
-    t = _stage("compile+run: exact brute 1M (accum+rescore) B=8192 k=10")
+    t = _stage("compile+run: serving program B=16384 np=4 rp=1 (bench serving + relay probe)")
+    qs16 = jnp.asarray(np.resize(ds.queries, (16384, ds.queries.shape[1])))
+    jax.block_until_ready(
+        idx.search_device(qs16, 10, 4, mode="cluster", recover_passes=1))
+    del qs16
+    _done(t)
+
+    t = _stage("compile+run: brute 1M rescored (depth 2) + exact (depth 8) B=8192 k=10")
     brute = BruteForceIndex(ds.base, metric="l2", dtype="int8")
     jax.block_until_ready(brute.search_device(qs, 10))
+    del brute
+    brute_x = BruteForceIndex(ds.base, metric="l2", dtype="int8",
+                              rescore_depth=8)
+    jax.block_until_ready(brute_x.search_device(qs, 10))
+    del brute_x
     _done(t)
+
+    # 10M flagship: compile only when the cached artifacts exist (the
+    # build is ~45 min — sweep10m owns it; bench.py skips when absent).
+    from rag_on_edge_tpu.harness.bench_ivf import DEFAULT_DATA_ROOT
+
+    cache10 = os.path.join(
+        DEFAULT_DATA_ROOT, "sift10m",
+        "ivf_nlist4096_l2_int8_seed42_pb2048_pp_sp0.1", "ivf_config.json")
+    if os.path.exists(cache10):
+        t = _stage("10M IVF load + compile (nlist=4096 eps=0.1 np=8 B=8192)")
+        ds10 = load_dataset("sift10m", gt_k=10)
+        idx10 = build_or_load_index(ds10, nlist=4096, metric="l2",
+                                    dtype="int8", pad_block=2048,
+                                    store="compact", spill_eps=0.1)
+        qs10 = jnp.asarray(np.resize(ds10.queries, (8192, ds10.queries.shape[1])))
+        jax.block_until_ready(idx10.search_device(qs10, 10, 8, mode="cluster"))
+        del idx10, ds10, qs10
+        _done(t)
+    else:
+        print("[warmup] 10M index cache absent — skipping (run sweep10m "
+              "to build it)", flush=True)
 
     t = _stage("compile+run: siftsmall brute (single-dispatch + stream-64)")
     small = BruteForceIndex(ds_small.base, dtype="int8")

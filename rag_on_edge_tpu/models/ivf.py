@@ -42,9 +42,90 @@ from rag_on_edge_tpu.ops import pallas_ivf
 from rag_on_edge_tpu.ops import pallas_ivf_dma
 from rag_on_edge_tpu.ops import pallas_topk
 
-__all__ = ["IVFIndex", "fine_scan", "invert_probes"]
+__all__ = ["IVFIndex", "fine_scan", "invert_probes", "coarse_tier",
+           "coarse_arrays_host", "coarse_probes_tiered"]
 
 _NEG_INF = float("-inf")
+
+# Coarse probing tiers by nlist (measured, SIFT-1M B=8192 real chip):
+# small nlist rides fp32 XLA GEMM + small_topk; the mid window uses a
+# bf16 GEMM (one MXU pass vs fp32-HIGHEST's six; probe selection is a
+# partition, not a ranking — a near-tie flip swaps similar-mass
+# clusters, measured recall-neutral) which beat both the fp32 path
+# (-3 ms) and the fused Pallas kernel (-6 ms, grid too small to
+# amortize); the fused brute-force kernel takes over once the centroid
+# matrix is big enough to tile well.  Shared by the single-chip
+# :meth:`IVFIndex._coarse_probes` and both sharded paths
+# (parallel/sharded.py) so the tiers cannot drift.
+COARSE_BF16_MIN_NLIST = 512
+COARSE_FUSED_MIN_NLIST = 8192
+
+
+def coarse_tier(nlist: int, *, bf16_min: int | None = None,
+                fused_min: int | None = None) -> str:
+    """Resolve the measured coarse-probing tier for an nlist.  The
+    thresholds default to the module constants; ``IVFIndex`` passes its
+    class attributes so tests can lower them to force a tier."""
+    if nlist >= (fused_min if fused_min is not None else COARSE_FUSED_MIN_NLIST):
+        return "fused"
+    if nlist >= (bf16_min if bf16_min is not None else COARSE_BF16_MIN_NLIST):
+        return "bf16"
+    return "fp32"
+
+
+def coarse_arrays_host(centroids: np.ndarray, coarse_metric: str,
+                       tier: str) -> tuple[np.ndarray, np.ndarray | None]:
+    """Tier-appropriate host centroid arrays ``(cents, c_norms)``.
+
+    - "fused": centroids transposed, L2 folded in by augmenting a
+      ``-0.5·‖c‖²`` row (ranking-equivalent); norms not needed (None).
+    - "bf16": bf16 centroid matrix + fp32 norms (L2 only).
+    - "fp32": fp32 centroids + norms (L2 only).
+    """
+    c = np.asarray(centroids, dtype=np.float32)
+    if tier == "fused":
+        ct = c.T
+        if coarse_metric == "l2":
+            ct = np.concatenate(
+                [ct, -0.5 * np.sum(ct * ct, axis=0, keepdims=True)], axis=0
+            )
+        return np.ascontiguousarray(ct), None
+    norms = np.sum(c * c, axis=1) if coarse_metric == "l2" else None
+    if tier == "bf16":
+        return c.astype(jnp.bfloat16), norms
+    return c, norms
+
+
+def coarse_probes_tiered(q: jax.Array, cents: jax.Array,
+                         c_norms: jax.Array | None, nprobe: int, *,
+                         tier: str, coarse_metric: str) -> jax.Array:
+    """STAGE 1 — coarse centroid scoring on the MXU (the reference's NPU
+    centroid GEMM, IVFIndex.cpp:653-657) + top-nprobe (nth_element,
+    IVFIndex.cpp:711-712), over the tier layout of
+    :func:`coarse_arrays_host`.  Large nlist uses the fused brute-force
+    kernel (centroid search IS a small brute-force search); ranking under
+    L2 rides the augmentation trick, and only probe ids are consumed
+    downstream, so values never need un-augmenting.  Safe inside
+    ``shard_map`` bodies (pure per-shard compute on replicated inputs)."""
+    if tier == "fused":
+        qx = q
+        if coarse_metric == "l2":
+            qx = jnp.concatenate(
+                [qx, jnp.ones((qx.shape[0], 1), qx.dtype)], axis=1)
+        _, probes = pallas_bf.fused_topk_matmul(qx, cents, nprobe)
+        return probes
+    if tier == "bf16":
+        s = jax.lax.dot_general(
+            q.astype(jnp.bfloat16), cents,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if coarse_metric == "l2":
+            s = 2.0 * s - c_norms[None, :]
+        return topk.small_topk(s, nprobe)[1]
+    s = distances.score_matrix(
+        q, cents, metric=coarse_metric, base_norms=c_norms)
+    return topk.small_topk(s, nprobe)[1]
 
 
 def invert_probes(probes: jax.Array, nlist: int, qcap: int):
@@ -200,16 +281,10 @@ class IVFIndex:
 
     PAD_BLOCK_DEFAULT = 512  # cluster slabs padded to this row multiple
     CM_GROUP = 4  # blocks scored per grid step of the cluster-major kernel
-    # Coarse probing tiers by nlist (measured, SIFT-1M B=8192 real chip):
-    # small nlist rides fp32 XLA GEMM + small_topk; the mid window uses a
-    # bf16 GEMM (one MXU pass vs fp32-HIGHEST's six; probe selection is a
-    # partition, not a ranking — a near-tie flip swaps similar-mass
-    # clusters, measured recall-neutral) which beat both the fp32 path
-    # (-3 ms) and the fused Pallas kernel (-6 ms, grid too small to
-    # amortize); the fused brute-force kernel takes over once the centroid
-    # matrix is big enough to tile well.
-    COARSE_BF16_MIN_NLIST = 512
-    COARSE_FUSED_MIN_NLIST = 8192
+    # Coarse probing tiers by nlist — module constants (shared with the
+    # sharded paths); see :func:`coarse_tier` for the measured rationale.
+    COARSE_BF16_MIN_NLIST = COARSE_BF16_MIN_NLIST
+    COARSE_FUSED_MIN_NLIST = COARSE_FUSED_MIN_NLIST
 
     def __init__(
         self,
@@ -346,18 +421,17 @@ class IVFIndex:
             arrays["vector_norms"] = jnp.asarray(
                 np.sum(vec_padded.astype(np.float32) ** 2, axis=1)
             )
-        if self.nlist >= self.COARSE_FUSED_MIN_NLIST:
-            # Fused coarse probing (see _coarse_probes): centroids stored
-            # transposed, L2 folded in by augmentation (ranking-equivalent).
-            ct = self._centroids_np.T
-            if coarse_metric == "l2":
-                ct = np.concatenate(
-                    [ct, -0.5 * np.sum(ct * ct, axis=0, keepdims=True)], axis=0
-                )
-            arrays["centroids_t"] = jnp.asarray(ct)
-        elif self.nlist >= self.COARSE_BF16_MIN_NLIST:
-            arrays["centroids_bf16"] = jnp.asarray(
-                self._centroids_np.astype(jnp.bfloat16))
+        self._coarse_tier = coarse_tier(
+            self.nlist, bf16_min=self.COARSE_BF16_MIN_NLIST,
+            fused_min=self.COARSE_FUSED_MIN_NLIST)
+        if self._coarse_tier != "fp32":
+            # Tier layout (transposed+augmented fused matrix, or bf16
+            # centroids) built by the shared helper — see coarse_tier().
+            tc, _ = coarse_arrays_host(
+                self._centroids_np, coarse_metric, self._coarse_tier)
+            key = ("centroids_t" if self._coarse_tier == "fused"
+                   else "centroids_bf16")
+            arrays[key] = jnp.asarray(tc)
         self._arrays = arrays
         if store == "compact":
             self._build_kernel_state(vec_padded)
@@ -535,34 +609,19 @@ class IVFIndex:
         return best_v, jnp.take_along_axis(rows, sel, axis=1)
 
     def _coarse_probes(self, arrays, q: jax.Array, nprobe: int) -> jax.Array:
-        """STAGE 1 — coarse centroid scoring on the MXU (the reference's NPU
-        centroid GEMM, IVFIndex.cpp:653-657) + top-nprobe (nth_element,
-        IVFIndex.cpp:711-712).  Large nlist uses the fused brute-force
-        kernel (centroid search IS a small brute-force search); ranking
-        under L2 rides the augmentation trick, and only probe ids are
-        consumed downstream, so values never need un-augmenting."""
+        """STAGE 1 — tiered coarse probing (:func:`coarse_probes_tiered`),
+        dispatching on which tier layout ``arrays`` carries."""
         if "centroids_t" in arrays:
-            qx = q
-            if self.coarse_metric == "l2":
-                qx = jnp.concatenate([qx, jnp.ones((qx.shape[0], 1), qx.dtype)], axis=1)
-            _, probes = pallas_bf.fused_topk_matmul(qx, arrays["centroids_t"], nprobe)
-            return probes
+            return coarse_probes_tiered(
+                q, arrays["centroids_t"], None, nprobe,
+                tier="fused", coarse_metric=self.coarse_metric)
         if "centroids_bf16" in arrays:
-            s = jax.lax.dot_general(
-                q.astype(jnp.bfloat16), arrays["centroids_bf16"],
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if self.coarse_metric == "l2":
-                s = 2.0 * s - arrays["centroid_norms"][None, :]
-            return topk.small_topk(s, nprobe)[1]
-        coarse = distances.score_matrix(
-            q,
-            arrays["centroids"],
-            metric=self.coarse_metric,
-            base_norms=arrays.get("centroid_norms"),
-        )
-        return topk.small_topk(coarse, nprobe)[1]
+            return coarse_probes_tiered(
+                q, arrays["centroids_bf16"], arrays.get("centroid_norms"),
+                nprobe, tier="bf16", coarse_metric=self.coarse_metric)
+        return coarse_probes_tiered(
+            q, arrays["centroids"], arrays.get("centroid_norms"),
+            nprobe, tier="fp32", coarse_metric=self.coarse_metric)
 
     def _search_impl(self, arrays, queries: jax.Array, k: int, nprobe: int,
                      probe_chunk: int, rescore: bool = False):

@@ -30,7 +30,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from rag_on_edge_tpu.models.ivf import IVFIndex, fine_scan
+from rag_on_edge_tpu.models.ivf import (
+    IVFIndex, coarse_arrays_host, coarse_probes_tiered, coarse_tier,
+    fine_scan,
+)
 from rag_on_edge_tpu.ops import distances, pallas_ivf_dma, pallas_topk, quantize, topk
 from rag_on_edge_tpu.ops.pallas_bruteforce import fused_topk_matmul
 
@@ -400,9 +403,18 @@ class ShardedIVFIndex:
         self.n, self.dim = index.n, index.dim
         self.max_cluster_size = index.max_cluster_size
 
-        self._centroids = jnp.asarray(index._centroids_np)
+        # Replicated coarse stage rides the SAME measured tiering as the
+        # single-chip index (bf16 GEMM at nlist >= 512, fused Pallas kernel
+        # at >= 8192 — models/ivf.py coarse_tier): every shard pays the
+        # coarse GEMM, so the fp32-HIGHEST six-pass cost it used to pay
+        # was the cheapest named slice of the sharded-vs-single-chip gap.
+        self._coarse_tier = getattr(
+            index, "_coarse_tier", None) or coarse_tier(index.nlist)
+        cents, c_norms = coarse_arrays_host(
+            index._centroids_np, index.coarse_metric, self._coarse_tier)
+        self._centroids = jnp.asarray(cents)
         self._centroid_norms = (
-            distances.base_norms_sq(self._centroids) if self.coarse_metric == "l2" else None
+            jnp.asarray(c_norms) if c_norms is not None else None
         )
 
         self._src_index = index  # host-side arrays reused for lazy layouts
@@ -646,6 +658,7 @@ class ShardedIVFIndex:
         axis = self.axis
         metric = self.metric
         coarse_metric = self.coarse_metric
+        tier = self._coarse_tier
         nlist = self.nlist
         blk = self._src_index.PAD_BLOCK
         dtype = self.dtype
@@ -668,12 +681,11 @@ class ShardedIVFIndex:
             # top-kk, so per-cluster truncation costs real recall.
             ck = kk
 
-            # Replicated stages: coarse probing + MoE-style inversion.
-            coarse = distances.score_matrix(
-                q, cents, metric=coarse_metric,
-                base_norms=c_norms if coarse_metric == "l2" else None,
-            )
-            _, probes = topk_ops.small_topk(coarse, min(nprobe, nlist))
+            # Replicated stages: tiered coarse probing (identical to the
+            # single-chip tier for this nlist) + MoE-style inversion.
+            probes = coarse_probes_tiered(
+                q, cents, c_norms if coarse_metric == "l2" else None,
+                min(nprobe, nlist), tier=tier, coarse_metric=coarse_metric)
             cq, slot, _ = invert_probes(probes, nlist, qcap)
             # Dropped pairs on empty clusters lose nothing and can never be
             # recovered (no local blocks) — they are not spill.  `lossy` is
@@ -893,7 +905,7 @@ class ShardedIVFIndex:
         in_specs = (
             P(None, None),  # queries
             P(None, None),  # centroids
-            P(None) if self.coarse_metric == "l2" else P(),
+            P(None) if self._centroid_norms is not None else P(),
             P(axis, None, None, None),  # vectors_t (block-tiled)
             P(axis, None, None),  # vectors_c (compact fp32 rescore)
             P(axis, None),  # norms_c
@@ -928,6 +940,7 @@ class ShardedIVFIndex:
         axis = self.axis
         metric = self.metric
         coarse_metric = self.coarse_metric
+        tier = self._coarse_tier
         smax = self.max_cluster_size
         nlist = self.nlist
         spilled = self.spilled
@@ -940,13 +953,12 @@ class ShardedIVFIndex:
                 reorder[0],
             )
             v_norms = v_norms[0] if metric == "l2" else None
-            # STAGE 1 (replicated — the centroid GEMM is tiny): coarse scores
-            # + top-nprobe; identical on every shard.
-            coarse = distances.score_matrix(
-                q, cents, metric=coarse_metric,
-                base_norms=c_norms if coarse_metric == "l2" else None,
-            )
-            _, probes = jax.lax.top_k(coarse, min(nprobe, nlist))
+            # STAGE 1 (replicated — the centroid GEMM is tiny): tiered
+            # coarse probing, identical on every shard AND identical to
+            # the single-chip tier for this nlist.
+            probes = coarse_probes_tiered(
+                q, cents, c_norms if coarse_metric == "l2" else None,
+                min(nprobe, nlist), tier=tier, coarse_metric=coarse_metric)
             p_offs = offs[probes]
             p_sizes = szs[probes]  # 0 for clusters this shard doesn't own
             ncand = jax.lax.psum(jnp.sum(p_sizes, axis=1), axis)
@@ -970,7 +982,7 @@ class ShardedIVFIndex:
         in_specs = (
             P(None, None),  # queries replicated
             P(None, None),  # centroids replicated
-            P(None) if self.coarse_metric == "l2" else P(),
+            P(None) if self._centroid_norms is not None else P(),
             P(axis, None, None),
             P(axis, None) if self.metric == "l2" else P(),
             P(axis, None),
@@ -1015,7 +1027,8 @@ class ShardedIVFIndex:
         accum planes kernel where the layout allows (the single-chip
         flagship) and the grouped-walk kernel otherwise; "pallas_accum" /
         "pallas" force one."""
-        c_norms = self._centroid_norms if self.coarse_metric == "l2" else jnp.zeros(())
+        c_norms = (self._centroid_norms if self._centroid_norms is not None
+                   else jnp.zeros(()))
         if mode == "cluster":
             self._ensure_cluster_state()
             a = self._cm_arrays

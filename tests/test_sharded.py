@@ -331,3 +331,33 @@ def test_sharded_accum_spill_recovery(small_data, mesh):
         engine="pallas_accum")
     assert int(sharded.last_spill) == 0
     assert recall_at_k(np.asarray(i1), np.asarray(i_ref), 10) >= 0.99
+
+
+@pytest.mark.parametrize("tier_attr,threshold", [
+    ("COARSE_BF16_MIN_NLIST", 8), ("COARSE_FUSED_MIN_NLIST", 8)])
+def test_sharded_coarse_tier_matches_single(small_data, mesh, tier_attr, threshold):
+    """The sharded paths ride the SAME coarse tier as the single-chip index
+    (bf16 GEMM / fused Pallas kernel forced by lowering the class
+    threshold): identical probe sets -> identical results, both modes."""
+    base, queries = small_data
+    saved = {a: getattr(IVFIndex, a) for a in
+             ("COARSE_BF16_MIN_NLIST", "COARSE_FUSED_MIN_NLIST")}
+    try:
+        setattr(IVFIndex, tier_attr, threshold)
+        single = IVFIndex.build(base, nlist=16, metric="l2", seed=42,
+                                max_iter=10)
+    finally:
+        for a, v in saved.items():
+            setattr(IVFIndex, a, v)
+    want = "fused" if tier_attr == "COARSE_FUSED_MIN_NLIST" else "bf16"
+    assert single._coarse_tier == want
+    sharded = ShardedIVFIndex(single, mesh)
+    assert sharded._coarse_tier == want
+    ids_s, v_s, c_s = single.search(queries, k=10, nprobe=4)
+    ids_m, v_m, c_m = sharded.search(queries, k=10, nprobe=4)
+    np.testing.assert_allclose(v_s, v_m, rtol=1e-5)
+    assert c_s == c_m  # same probes on every shard -> same candidate count
+    assert recall_at_k(ids_m, ids_s, 10) >= 0.999
+    ids_c, v_c, c_c = sharded.search(queries, k=10, nprobe=4, mode="cluster")
+    assert c_c == c_s
+    assert recall_at_k(ids_c, ids_s, 10) >= 0.99
