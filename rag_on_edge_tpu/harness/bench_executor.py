@@ -65,6 +65,7 @@ def run(dataset: str = "sift", batch: int = 2048, nprobe: int = 4, k: int = 10,
                           max_delay_ms=max_delay_ms, inflight=inflight) as ex:
         # Warm the pipeline (compile happens on the first dispatch).
         ex.submit(reqs[0]).result(timeout=600)
+        stats0 = ex.stats()
         t_submit = np.empty(requests)
         futs = []
         # GC freeze for the timed region (see run_open_loop: one gen-2
@@ -87,6 +88,16 @@ def run(dataset: str = "sift", batch: int = 2048, nprobe: int = 4, k: int = 10,
         finally:
             gc.enable()
             gc.unfreeze()
+        stats = {k: (round(v - stats0[k], 2) if isinstance(v, (int, float))
+                     and k in ("batches_dispatched", "rows_dispatched",
+                               "underfull_launches", "drains",
+                               "batches_collected") else v)
+                 for k, v in ex.stats().items()}
+        b, d = stats["batches_dispatched"], stats["drains"]
+        stats["avg_rows_per_batch"] = (
+            round(stats["rows_dispatched"] / b, 1) if b else 0.0)
+        stats["batches_per_drain"] = (
+            round(stats["batches_collected"] / d, 2) if d else 0.0)
     qps = requests / wall
     lat = metrics.LatencyStats.from_samples(((t_done - t_submit) * 1e3).tolist())
     # Recall over the requests actually issued (requests < nq would
@@ -101,11 +112,14 @@ def run(dataset: str = "sift", batch: int = 2048, nprobe: int = 4, k: int = 10,
         "recall": round(float(recall), 4),
         "latency_ms": {"mean": round(lat.mean, 3), "p50": round(lat.p50, 3),
                        "p95": round(lat.p95, 3), "p99": round(lat.p99, 3)},
+        "pipeline": stats,
     }
     if not quiet:
         print(f"[executor] {dataset} B={batch} np={nprobe} inflight={inflight}: "
               f"{qps:,.0f} QPS end-to-end, recall@{k}={recall:.4f}, "
-              f"lat ms p50={lat.p50:.1f} p95={lat.p95:.1f} p99={lat.p99:.1f}")
+              f"lat ms p50={lat.p50:.1f} p95={lat.p95:.1f} p99={lat.p99:.1f}, "
+              f"{stats['batches_per_drain']} batches/drain, "
+              f"{stats['underfull_launches']} underfull")
     return out
 
 

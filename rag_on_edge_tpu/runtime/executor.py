@@ -191,6 +191,13 @@ class BatchingExecutor:
         self._cond = threading.Condition()
         self._closed = False
         self._inflight: queue_mod.Queue = queue_mod.Queue(maxsize=max(1, inflight))
+        # Pipeline counters (single-writer per field, GIL-atomic int adds;
+        # incremented per BATCH/drain — never on the per-request hot path).
+        self._n_batches = 0   # dispatched device batches
+        self._n_rows = 0      # real rows dispatched (excl. zero padding)
+        self._n_underfull = 0  # deadline-expired (underfull) launches
+        self._n_drains = 0    # collector device_get round trips
+        self._n_collected = 0  # batches materialized across all drains
         self._dispatcher = threading.Thread(target=self._dispatch_loop, daemon=True)
         self._collector = threading.Thread(target=self._collect_loop, daemon=True)
         self._dispatcher.start()
@@ -271,6 +278,23 @@ class BatchingExecutor:
     def search(self, query: np.ndarray, timeout: float = 60.0):
         """Synchronous convenience wrapper around :meth:`submit`."""
         return self.submit(query).result(timeout=timeout)
+
+    def stats(self) -> dict:
+        """Pipeline counters since construction (snapshot/diff around a
+        timed region to scope them).  ``batches_per_drain`` is the relay-
+        fetch amortization the batched-drain collector exists to buy: at
+        1.0 every batch pays the full sync round trip; the capacity model
+        is QPS ≈ rows_per_batch · batches_per_drain / cycle."""
+        b, d = self._n_batches, self._n_drains
+        return {
+            "batches_dispatched": b,
+            "rows_dispatched": self._n_rows,
+            "underfull_launches": self._n_underfull,
+            "drains": d,
+            "batches_collected": self._n_collected,
+            "avg_rows_per_batch": round(self._n_rows / b, 1) if b else 0.0,
+            "batches_per_drain": round(self._n_collected / d, 2) if d else 0.0,
+        }
 
     def close(self) -> None:
         """Drain outstanding requests, then stop the workers (idempotent)."""
@@ -396,6 +420,10 @@ class BatchingExecutor:
                         buf[fut._r0] = fut._q
             for fut in taken:
                 fut._q = None  # release payload references early
+            self._n_batches += 1
+            self._n_rows += r0
+            if r0 < self.batch_size:
+                self._n_underfull += 1
             try:
                 # Async dispatch: jax returns device futures immediately;
                 # the bounded in-flight queue provides backpressure.
@@ -447,6 +475,8 @@ class BatchingExecutor:
                     done = True  # close(): finish what we hold, then exit
                     break
                 items.append(nxt)
+            self._n_drains += 1
+            self._n_collected += len(items)
             flats, defs = [], []
             for _, out in items:
                 leaves, treedef = jax.tree_util.tree_flatten(out)

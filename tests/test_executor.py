@@ -264,3 +264,23 @@ def test_executor_lost_wakeup_self_heals(small_data, index):
         for i, f in enumerate(futs):
             ids = f.result(timeout=10)[1]
             np.testing.assert_array_equal(ids, direct_ids[i])
+
+
+def test_executor_stats_counters(small_data, index):
+    """Pipeline counters: rows/batches account exactly; every dispatched
+    batch is collected; batches_per_drain >= 1 when drains happened."""
+    _, queries = small_data
+    with BatchingExecutor(
+        lambda q: index.search_device(q, k=5), dim=queries.shape[1],
+        batch_size=16, max_delay_ms=5.0,
+    ) as ex:
+        futs = [ex.submit(q) for q in queries[:32]]
+        for f in futs:
+            f.result(timeout=30)
+        s = ex.stats()
+    assert s["rows_dispatched"] == 32
+    assert s["batches_dispatched"] >= 2  # 32 rows / batch_size 16
+    assert s["batches_collected"] == s["batches_dispatched"]
+    assert s["drains"] >= 1
+    assert s["batches_per_drain"] >= 1.0
+    assert s["avg_rows_per_batch"] <= 16
