@@ -175,10 +175,23 @@ class BatchingExecutor:
         waited this long.
     inflight : device batches kept in flight (dispatch runs ahead of
         result materialization by up to this many batches).
+    pack : fuse each batch's result leaves into ONE device array before
+        fetching ("auto"/True; False disables).  On the axon relay a
+        fetch costs ~13.6 ms PER ARRAY regardless of payload, so a
+        3-leaf search result pays ~41 ms/batch where one packed array
+        pays ~14 — the single largest serving-cycle term after the sync
+        round trip itself.  The pack program is a jitted
+        bitcast-to-int32 + concat that takes the result arrays as
+        ARGUMENTS (an outer jit around ``fn`` would inline the index's
+        device arrays as constants — see CLAUDE.md); the host side
+        unpacks column views, so no extra copies on the result path.
+        Auto-disables (permanently, first batch) when any leaf has a
+        non-4-byte dtype or there is only one leaf to begin with.
     """
 
     def __init__(self, fn, dim: int, batch_size: int = 32,
-                 max_delay_ms: float = 2.0, inflight: int = 4):
+                 max_delay_ms: float = 2.0, inflight: int = 4,
+                 pack: bool | str = "auto"):
         self._fn = fn
         self.dim = int(dim)
         self.batch_size = int(batch_size)
@@ -198,6 +211,13 @@ class BatchingExecutor:
         self._n_underfull = 0  # deadline-expired (underfull) launches
         self._n_drains = 0    # collector device_get round trips
         self._n_collected = 0  # batches materialized across all drains
+        self._n_packed = 0    # batches whose results were pack-fused
+        # Result packing (see class docstring): state machine decided on
+        # the FIRST batch's result tree — "unknown" -> "on"/"off".
+        self._pack_state = "unknown" if pack in ("auto", True) else "off"
+        self._pack_fn = None       # jitted bitcast+concat, built lazily
+        self._pack_slices = None   # [(col0, col1, np.dtype, trailing)]
+        self._pack_treedef = None
         self._dispatcher = threading.Thread(target=self._dispatch_loop, daemon=True)
         self._collector = threading.Thread(target=self._collect_loop, daemon=True)
         self._dispatcher.start()
@@ -292,6 +312,7 @@ class BatchingExecutor:
             "underfull_launches": self._n_underfull,
             "drains": d,
             "batches_collected": self._n_collected,
+            "packed_batches": self._n_packed,
             "avg_rows_per_batch": round(self._n_rows / b, 1) if b else 0.0,
             "batches_per_drain": round(self._n_collected / d, 2) if d else 0.0,
         }
@@ -313,6 +334,77 @@ class BatchingExecutor:
 
     def __exit__(self, *exc):
         self.close()
+
+    # ------------------------------------------------------------- packing
+
+    def _maybe_pack(self, out):
+        """Fuse a batch result pytree into one [B, C] int32 device array
+        (returns ``(packed_or_out, did_pack)``).  Any failure — odd
+        dtypes, non-array leaves, a pack-program error — turns packing
+        off for the executor's lifetime and falls back to the plain
+        multi-array path; correctness never depends on this."""
+        if self._pack_state == "off":
+            return out, False
+        try:
+            leaves, treedef = jax.tree_util.tree_flatten(out)
+            if self._pack_state == "unknown":
+                ok = len(leaves) >= 2 and all(
+                    hasattr(a, "dtype") and hasattr(a, "ndim") and a.ndim >= 1
+                    and a.shape[0] == self.batch_size
+                    and np.dtype(a.dtype).itemsize == 4
+                    for a in leaves
+                )
+                if not ok:
+                    self._pack_state = "off"
+                    return out, False
+                self._build_pack(leaves, treedef)
+                self._pack_state = "on"
+            return self._pack_fn(leaves), True
+        except Exception:
+            self._pack_state = "off"
+            return out, False
+
+    def _build_pack(self, leaves, treedef) -> None:
+        slices, o = [], 0
+        for a in leaves:
+            trail = tuple(int(s) for s in a.shape[1:])
+            c = 1
+            for s in trail:
+                c *= s
+            slices.append((o, o + c, np.dtype(a.dtype), trail))
+            o += c
+        self._pack_slices = slices
+        self._pack_treedef = treedef
+
+        @jax.jit
+        def pack(ls):
+            cols = []
+            for a in ls:
+                a2 = a.reshape((a.shape[0], -1))
+                if a2.dtype != jnp.int32:
+                    a2 = jax.lax.bitcast_convert_type(a2, jnp.int32)
+                cols.append(a2)
+            return jnp.concatenate(cols, axis=1)
+
+        self._pack_fn = pack
+
+    def _unpack_rows(self, arr: np.ndarray) -> list:
+        """Host-side inverse of the pack program: column VIEWS of the
+        fetched [B, C] int32 buffer (same-itemsize dtype views are legal
+        on the contiguous-last-axis column slices; no copies unless a
+        leaf has >1 trailing dim)."""
+        leaves = []
+        for o0, o1, dt, trail in self._pack_slices:
+            col = arr[:, o0:o1]
+            if dt != col.dtype:
+                col = col.view(dt)
+            if trail == ():
+                leaves.append(col[:, 0])
+            elif len(trail) == 1:
+                leaves.append(col)
+            else:
+                leaves.append(col.reshape((arr.shape[0],) + trail))
+        return leaves
 
     # --------------------------------------------------------------- workers
 
@@ -428,6 +520,9 @@ class BatchingExecutor:
                 # Async dispatch: jax returns device futures immediately;
                 # the bounded in-flight queue provides backpressure.
                 out = self._fn(jnp.asarray(buf))
+                out, packed = self._maybe_pack(out)
+                if packed:
+                    self._n_packed += 1
                 # Start the device->host copies NOW so they overlap this
                 # batch's compute and the next batches' dispatches.  On the
                 # axon relay each SYNCHRONOUS fetch is a ~36 ms round trip
@@ -443,7 +538,7 @@ class BatchingExecutor:
                 rec.exc = e
                 self._resolve(rec)
                 continue
-            self._inflight.put((rec, out))
+            self._inflight.put((rec, out, packed))
 
     def _resolve(self, rec: _BatchRecord) -> None:
         with self._cond:
@@ -478,26 +573,40 @@ class BatchingExecutor:
             self._n_drains += 1
             self._n_collected += len(items)
             flats, defs = [], []
-            for _, out in items:
-                leaves, treedef = jax.tree_util.tree_flatten(out)
-                flats.append(leaves)
-                defs.append(treedef)
+            for _, out, packed in items:
+                if packed:  # one pre-fused array; unpacked host-side below
+                    flats.append([out])
+                    defs.append(None)
+                else:
+                    leaves, treedef = jax.tree_util.tree_flatten(out)
+                    flats.append(leaves)
+                    defs.append(treedef)
             try:
                 fetched = jax.device_get(flats)
             except Exception:
                 fetched = None  # isolate the poisoned batch below
             if fetched is None:
-                for (rec, _), leaves, treedef in zip(items, flats, defs):
+                for (rec, _, packed), leaves, treedef in zip(items, flats, defs):
                     try:
-                        rec.leaves = jax.device_get(leaves)
-                        rec.unflatten = treedef.unflatten
+                        got = jax.device_get(leaves)
+                        if packed:
+                            rec.leaves = self._unpack_rows(got[0])
+                            rec.unflatten = self._pack_treedef.unflatten
+                        else:
+                            rec.leaves = got
+                            rec.unflatten = treedef.unflatten
                     except Exception as e:
                         rec.exc = e
                     self._resolve(rec)
             else:
                 with self._cond:  # one broadcast for the whole drain
-                    for (rec, _), leaves, treedef in zip(items, fetched, defs):
-                        rec.leaves = leaves
-                        rec.unflatten = treedef.unflatten
+                    for (rec, _, packed), leaves, treedef in zip(
+                            items, fetched, defs):
+                        if packed:
+                            rec.leaves = self._unpack_rows(leaves[0])
+                            rec.unflatten = self._pack_treedef.unflatten
+                        else:
+                            rec.leaves = leaves
+                            rec.unflatten = treedef.unflatten
                         rec.ready = True
                     self._cond.notify_all()

@@ -284,3 +284,90 @@ def test_executor_stats_counters(small_data, index):
     assert s["drains"] >= 1
     assert s["batches_per_drain"] >= 1.0
     assert s["avg_rows_per_batch"] <= 16
+
+
+def test_executor_pack_engages_and_matches(small_data, index):
+    """Result packing (bitcast+concat to ONE device array per batch) is
+    on by default for multi-leaf 4-byte results and must be invisible:
+    identical ids/scores, packed_batches counts every batch."""
+    _, queries = small_data
+    direct_ids, direct_scores = index.search(queries[:32], k=5)
+    with BatchingExecutor(
+        lambda q: index.search_device(q, k=5), dim=queries.shape[1],
+        batch_size=16, max_delay_ms=5.0,
+    ) as ex:
+        futs = [ex.submit(q) for q in queries[:32]]
+        for i, f in enumerate(futs):
+            vals, ids = f.result(timeout=30)
+            assert ids.dtype == direct_ids.dtype
+            np.testing.assert_array_equal(ids, direct_ids[i])
+            np.testing.assert_allclose(vals, direct_scores[i], rtol=1e-6)
+        s = ex.stats()
+    assert s["packed_batches"] == s["batches_dispatched"] > 0
+
+
+def test_executor_pack_off_matches(small_data, index):
+    """pack=False keeps the plain multi-array fetch path."""
+    _, queries = small_data
+    direct_ids, _ = index.search(queries[:16], k=5)
+    with BatchingExecutor(
+        lambda q: index.search_device(q, k=5), dim=queries.shape[1],
+        batch_size=16, max_delay_ms=5.0, pack=False,
+    ) as ex:
+        futs = [ex.submit(q) for q in queries[:16]]
+        for i, f in enumerate(futs):
+            np.testing.assert_array_equal(f.result(timeout=30)[1],
+                                          direct_ids[i])
+        assert ex.stats()["packed_batches"] == 0
+
+
+def test_executor_pack_mixed_leaf_shapes(small_data, index):
+    """Packing handles the full leaf zoo in one tree: [B, k] f32,
+    [B, k] i32, a [B] vector, and a [B, 2, 3] trailing-multi-dim leaf."""
+    import jax.numpy as jnp
+
+    _, queries = small_data
+
+    def fn(q):
+        scores, ids = index.search_device(q, k=4)
+        ncand = jnp.full((q.shape[0],), 7, jnp.int32)
+        cube = jnp.broadcast_to(
+            scores[:, :1, None], (q.shape[0], 2, 3)).astype(jnp.float32)
+        return scores, ids, ncand, cube
+
+    direct_ids, direct_scores = index.search(queries[:16], k=4)
+    with BatchingExecutor(fn, dim=queries.shape[1], batch_size=16,
+                          max_delay_ms=5.0) as ex:
+        futs = [ex.submit(q) for q in queries[:16]]
+        for i, f in enumerate(futs):
+            scores, ids, ncand, cube = f.result(timeout=30)
+            np.testing.assert_array_equal(ids, direct_ids[i])
+            np.testing.assert_allclose(scores, direct_scores[i], rtol=1e-6)
+            assert ncand == 7 and ncand.dtype == np.int32
+            assert cube.shape == (2, 3)
+            np.testing.assert_allclose(cube, np.broadcast_to(
+                scores[:1, None], (2, 3)), rtol=1e-6)
+        assert ex.stats()["packed_batches"] > 0
+
+
+def test_executor_pack_falls_back_on_narrow_dtype(small_data, index):
+    """A non-4-byte leaf (int8) permanently disables packing — results
+    still correct through the plain path."""
+    import jax.numpy as jnp
+
+    _, queries = small_data
+
+    def fn(q):
+        scores, ids = index.search_device(q, k=3)
+        flag = jnp.zeros((q.shape[0],), jnp.int8)
+        return scores, ids, flag
+
+    with BatchingExecutor(fn, dim=queries.shape[1], batch_size=16,
+                          max_delay_ms=5.0) as ex:
+        direct_ids, _ = index.search(queries[:16], k=3)
+        futs = [ex.submit(q) for q in queries[:16]]
+        for i, f in enumerate(futs):
+            _, ids, flag = f.result(timeout=30)
+            np.testing.assert_array_equal(ids, direct_ids[i])
+            assert flag.dtype == np.int8
+        assert ex.stats()["packed_batches"] == 0
