@@ -218,7 +218,7 @@ def kmeans(
 def assign_top2(
     x: np.ndarray | jax.Array,
     centroids: np.ndarray | jax.Array,
-    chunk: int = 131_072,
+    chunk: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Nearest-2 centroid assignment under squared L2 (chunked, on-device).
 
@@ -226,10 +226,18 @@ def assign_top2(
     second-nearest centroid ids and their SQUARED distances.  The spilled-
     assignment build (``IVFIndex.build(spill_eps=)``) uses d2/d1 to find
     boundary vectors worth a second copy — the DB-side multi-probe lever
-    (cf. ScaNN's SOAR redundant assignment)."""
+    (cf. ScaNN's SOAR redundant assignment).
+
+    The default chunk caps the [chunk, nlist] fp32 distance matrix at
+    ~1 GB of HBM: a fixed 131,072-row chunk OOM'd the one chip at
+    nlist=8192 (two ~4.3 GB live buffers — the GEMM output and the
+    negated top-k input — next to the 5 GB base upload)."""
     x = jnp.asarray(x, jnp.float32)
     centroids = jnp.asarray(centroids, jnp.float32)
     n = x.shape[0]
+    if chunk is None:
+        nlist = int(centroids.shape[0])
+        chunk = min(131_072, max(16_384, (1 << 28) // max(1, nlist)))
 
     @jax.jit
     def _chunk(xc, cents):
