@@ -91,7 +91,8 @@ def run(dataset: str = "sift", batch: int = 2048, nprobe: int = 4, k: int = 10,
         stats = {k: (round(v - stats0[k], 2) if isinstance(v, (int, float))
                      and k in ("batches_dispatched", "rows_dispatched",
                                "underfull_launches", "drains",
-                               "batches_collected", "packed_batches") else v)
+                               "batches_collected", "packed_batches",
+                               "fused_drains") else v)
                  for k, v in ex.stats().items()}
         b, d = stats["batches_dispatched"], stats["drains"]
         stats["avg_rows_per_batch"] = (

@@ -212,12 +212,21 @@ class BatchingExecutor:
         self._n_drains = 0    # collector device_get round trips
         self._n_collected = 0  # batches materialized across all drains
         self._n_packed = 0    # batches whose results were pack-fused
+        self._n_fused_drains = 0  # drains whose packed batches were stacked
         # Result packing (see class docstring): state machine decided on
         # the FIRST batch's result tree — "unknown" -> "on"/"off".
         self._pack_state = "unknown" if pack in ("auto", True) else "off"
         self._pack_fn = None       # jitted bitcast+concat, built lazily
         self._pack_slices = None   # [(col0, col1, np.dtype, trailing)]
         self._pack_treedef = None
+        # Cross-batch drain fusion: jnp.stack n packed [B, C] results into
+        # one [n, B, C] array before the drain's device_get — one per-array
+        # fetch cost for the WHOLE drain instead of one per batch.  The
+        # stack executes as its own tiny program (one ~2.5 ms async RPC)
+        # and saves (n-1) x ~13.6 ms of fetch; jit retraces per drain size
+        # n (n <= inflight, so a handful of cached variants).
+        self._fuse_drains = pack in ("auto", True)
+        self._stack_fn = jax.jit(jnp.stack)
         self._dispatcher = threading.Thread(target=self._dispatch_loop, daemon=True)
         self._collector = threading.Thread(target=self._collect_loop, daemon=True)
         self._dispatcher.start()
@@ -313,6 +322,7 @@ class BatchingExecutor:
             "drains": d,
             "batches_collected": self._n_collected,
             "packed_batches": self._n_packed,
+            "fused_drains": self._n_fused_drains,
             "avg_rows_per_batch": round(self._n_rows / b, 1) if b else 0.0,
             "batches_per_drain": round(self._n_collected / d, 2) if d else 0.0,
         }
@@ -581,8 +591,32 @@ class BatchingExecutor:
                     leaves, treedef = jax.tree_util.tree_flatten(out)
                     flats.append(leaves)
                     defs.append(treedef)
+            # Cross-batch fusion: >= 2 packed batches in this drain stack
+            # into ONE device array so the whole drain pays one per-array
+            # fetch.  A stack failure skips fusion (permanently — don't
+            # re-raise per drain) but never touches correctness: `flats`
+            # still holds the per-batch arrays for the fallback paths.
+            packed_idx = [i for i, it in enumerate(items) if it[2]]
+            fused = None
+            if self._fuse_drains and len(packed_idx) >= 2:
+                try:
+                    fused = self._stack_fn([flats[i][0] for i in packed_idx])
+                except Exception:
+                    self._fuse_drains = False
             try:
-                fetched = jax.device_get(flats)
+                if fused is not None:
+                    unpacked_idx = [i for i in range(len(items))
+                                    if not items[i][2]]
+                    fused_np, rest = jax.device_get(
+                        (fused, [flats[i] for i in unpacked_idx]))
+                    fetched = [None] * len(items)
+                    for j, i in enumerate(packed_idx):
+                        fetched[i] = [fused_np[j]]
+                    for j, i in enumerate(unpacked_idx):
+                        fetched[i] = rest[j]
+                    self._n_fused_drains += 1
+                else:
+                    fetched = jax.device_get(flats)
             except Exception:
                 fetched = None  # isolate the poisoned batch below
             if fetched is None:

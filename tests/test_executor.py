@@ -371,3 +371,58 @@ def test_executor_pack_falls_back_on_narrow_dtype(small_data, index):
             np.testing.assert_array_equal(ids, direct_ids[i])
             assert flag.dtype == np.int8
         assert ex.stats()["packed_batches"] == 0
+
+
+def test_executor_drain_fusion_matches(small_data, index, monkeypatch):
+    """Cross-batch drain fusion: when the collector drains >= 2 packed
+    batches it stacks them into ONE device array before the fetch.
+    Stalling the first drain piles later batches into the inflight queue,
+    so the second drain must fuse — with results identical to a direct
+    search."""
+    import time as time_mod
+
+    import jax
+
+    _, queries = small_data
+    real_get = jax.device_get
+    first = [True]
+
+    def slow_first_get(x):
+        if first[0]:
+            first[0] = False
+            time_mod.sleep(0.3)  # let the dispatcher run ahead
+        return real_get(x)
+
+    monkeypatch.setattr(jax, "device_get", slow_first_get)
+    # 64 distinct rows (small_data has only 32 queries): 4 full batches.
+    qs = np.concatenate([queries, queries + 0.25], axis=0).astype(np.float32)
+    direct_ids, direct_scores = index.search(qs, k=5)
+    with BatchingExecutor(
+        lambda q: index.search_device(q, k=5), dim=qs.shape[1],
+        batch_size=16, max_delay_ms=50.0, inflight=8,
+    ) as ex:
+        futs = [ex.submit(q) for q in qs]
+        for i, f in enumerate(futs):
+            vals, ids = f.result(timeout=30)
+            np.testing.assert_array_equal(ids, direct_ids[i])
+            np.testing.assert_allclose(vals, direct_scores[i], rtol=1e-6)
+        s = ex.stats()
+    assert s["packed_batches"] == s["batches_dispatched"] == 4
+    assert s["fused_drains"] >= 1
+    assert s["drains"] < s["batches_collected"]  # at least one multi-batch drain
+
+
+def test_executor_drain_fusion_off_without_pack(small_data, index):
+    """pack=False also disables drain fusion (there is nothing packed to
+    stack) — counter stays zero, results unaffected."""
+    _, queries = small_data
+    direct_ids, _ = index.search(queries[:16], k=5)
+    with BatchingExecutor(
+        lambda q: index.search_device(q, k=5), dim=queries.shape[1],
+        batch_size=16, max_delay_ms=5.0, pack=False,
+    ) as ex:
+        futs = [ex.submit(q) for q in queries[:16]]
+        for i, f in enumerate(futs):
+            np.testing.assert_array_equal(f.result(timeout=30)[1],
+                                          direct_ids[i])
+        assert ex.stats()["fused_drains"] == 0
