@@ -27,9 +27,10 @@ every number because the old script printed once at exit):
 
 Secondary sections, in value order:
 
-1. **SIFT-10M flagship** (nlist=4096, spill_eps=0.1, np=8, compact
-   store) — LOADS the cached index only; a missing cache skips the
-   section (the build is ~45 min — run sweep10m or warmup first).
+1. **SIFT-10M flagship** (nlist=8192, spill_eps=0.1, np=4, compact
+   store; round-3 nlist=4096/np=8 artifact as fallback) — LOADS the
+   cached index only; a missing cache skips the section (the build is
+   ~45 min — run sweep10m or warmup first).
 2. **Serving executor**: singleton submits through the BatchingExecutor
    at B=16384 (saturated protocol), plus a serialized relay-cycle probe
    (ms/batch) so "tunnel weather" is part of the record — capacity ≈
@@ -108,21 +109,25 @@ def _ivf_1m(pad_block: int, batch: int = 8192, nprobe: int = 4, k: int = 10):
                            {"nprobe": nprobe, "mode": "cluster"})
 
 
-def _sift10m(batch: int = 8192, nprobe: int = 8, k: int = 10):
-    """SIFT-10M flagship (nlist=4096, spill_eps=0.1, compact store) —
-    cached artifacts ONLY; raises FileNotFoundError when absent so the
-    driver bench can never trigger the ~45-min build."""
+def _sift10m(batch: int = 8192, nprobe: int = 4, k: int = 10,
+             nlist: int = 8192):
+    """SIFT-10M flagship (nlist=8192, spill_eps=0.1, np=4, compact
+    store — the round-4 frontier point: 0.9981 recall@10 / 0.9999
+    recall@1 @ 350K QPS; RESULTS.md round-4 nlist frontier) — cached
+    artifacts ONLY; raises FileNotFoundError when absent so the driver
+    bench can never trigger the ~45-min build."""
     from rag_on_edge_tpu.harness.bench_ivf import DEFAULT_DATA_ROOT, build_or_load_index
     from rag_on_edge_tpu.utils.datasets import load_dataset
 
     cache = os.path.join(
         DEFAULT_DATA_ROOT, "sift10m",
-        "ivf_nlist4096_l2_int8_seed42_pb2048_pp_sp0.1", "ivf_config.json")
+        f"ivf_nlist{nlist}_l2_int8_seed42_pb2048_pp_sp0.1",
+        "ivf_config.json")
     if not os.path.exists(cache):
         raise FileNotFoundError(
             f"cached 10M index missing ({cache}) — run sweep10m first")
     ds = load_dataset("sift10m", gt_k=max(k, 10))
-    idx = build_or_load_index(ds, nlist=4096, metric="l2", dtype="int8",
+    idx = build_or_load_index(ds, nlist=nlist, metric="l2", dtype="int8",
                               pad_block=2048, store="compact", spill_eps=0.1)
     return _measure_search(idx, ds, batch, k,
                            {"nprobe": nprobe, "mode": "cluster"})
@@ -132,7 +137,10 @@ def _serving(batch: int = 16384, requests: int = 131072, nprobe: int = 4,
              k: int = 10):
     """End-to-end serving: singleton submits through the BatchingExecutor
     (saturated protocol) + the serialized relay-cycle probe that prices
-    this window's relay weather (capacity ≈ B / cycle)."""
+    this window's relay weather (capacity ≈ B / cycle).  max_delay=75 ms:
+    the submit loop needs ~70 ms to fill a 16384-row batch (4.3 µs/req),
+    so the 5 ms default fires batches ~67% full — measured round 4,
+    avg 10.9K rows/launch, a weather-independent capacity leak."""
     from rag_on_edge_tpu.harness import bench_executor
     from rag_on_edge_tpu.harness.bench_ivf import build_or_load_index
     from rag_on_edge_tpu.utils.datasets import load_dataset
@@ -144,7 +152,8 @@ def _serving(batch: int = 16384, requests: int = 131072, nprobe: int = 4,
         q, k, nprobe, mode="cluster", recover_passes=1)
     cycle_ms = bench_executor.relay_cycle_probe(fn, ds.base.shape[1], batch)
     r = bench_executor.run(dataset="sift", batch=batch, nprobe=nprobe, k=k,
-                           requests=requests, recover_passes=1, quiet=True)
+                           requests=requests, recover_passes=1, quiet=True,
+                           max_delay_ms=75.0)
     return r, round(cycle_ms, 1)
 
 
@@ -212,11 +221,17 @@ def main() -> None:
 
     # Secondary 1: the SIFT-10M flagship (cached artifacts only) —
     # driver-captured evidence for the number RESULTS.md reports
-    # (0.9949 recall@10 @ 324K QPS, nlist=4096/eps=0.1/np=8).
+    # (0.9981 recall@10 @ 350K QPS, nlist=8192/eps=0.1/np=4; falls back
+    # to the round-3 nlist=4096/np=8 artifact if 8192 is absent).
     if _remaining() > 360:
         try:
-            tq, tr10, tr1 = _sift10m()
-            out["sift10m_qps_b8192_np8"] = tq
+            try:
+                tq, tr10, tr1 = _sift10m()
+                out["sift10m_config"] = "nlist8192_np4"
+            except FileNotFoundError:
+                tq, tr10, tr1 = _sift10m(nprobe=8, nlist=4096)
+                out["sift10m_config"] = "nlist4096_np8"
+            out["sift10m_qps_b8192"] = tq
             out["sift10m_recall_at_10"] = tr10
             out["sift10m_recall_at_1"] = tr1
         except FileNotFoundError as e:
@@ -234,6 +249,7 @@ def main() -> None:
             out["serving_qps"] = r["qps_end_to_end"]
             out["serving_recall_at_10"] = r["recall"]
             out["serving_batch"] = r["batch"]
+            out["serving_avg_rows_per_launch"] = r["pipeline"]["avg_rows_per_batch"]
             out["relay_cycle_ms_b16384"] = cycle_ms
         except Exception as e:
             out["error_serving"] = repr(e)

@@ -94,19 +94,25 @@ def main() -> int:
     # build is ~45 min — sweep10m owns it; bench.py skips when absent).
     from rag_on_edge_tpu.harness.bench_ivf import DEFAULT_DATA_ROOT
 
-    cache10 = os.path.join(
-        DEFAULT_DATA_ROOT, "sift10m",
-        "ivf_nlist4096_l2_int8_seed42_pb2048_pp_sp0.1", "ivf_config.json")
-    if os.path.exists(cache10):
-        t = _stage("10M IVF load + compile (nlist=4096 eps=0.1 np=8 B=8192)")
-        ds10 = load_dataset("sift10m", gt_k=10)
-        idx10 = build_or_load_index(ds10, nlist=4096, metric="l2",
-                                    dtype="int8", pad_block=2048,
-                                    store="compact", spill_eps=0.1)
-        qs10 = jnp.asarray(np.resize(ds10.queries, (8192, ds10.queries.shape[1])))
-        jax.block_until_ready(idx10.search_device(qs10, 10, 8, mode="cluster"))
-        del idx10, ds10, qs10
-        _done(t)
+    # Flagship = nlist=8192/np=4 (round-4 frontier); round-3 4096/np=8
+    # is the fallback — match bench.py._sift10m's resolution order.
+    for nlist10, np10 in ((8192, 4), (4096, 8)):
+        cache10 = os.path.join(
+            DEFAULT_DATA_ROOT, "sift10m",
+            f"ivf_nlist{nlist10}_l2_int8_seed42_pb2048_pp_sp0.1",
+            "ivf_config.json")
+        if os.path.exists(cache10):
+            t = _stage(f"10M IVF load + compile (nlist={nlist10} eps=0.1 "
+                       f"np={np10} B=8192)")
+            ds10 = load_dataset("sift10m", gt_k=10)
+            idx10 = build_or_load_index(ds10, nlist=nlist10, metric="l2",
+                                        dtype="int8", pad_block=2048,
+                                        store="compact", spill_eps=0.1)
+            qs10 = jnp.asarray(np.resize(ds10.queries, (8192, ds10.queries.shape[1])))
+            jax.block_until_ready(idx10.search_device(qs10, 10, np10, mode="cluster"))
+            del idx10, ds10, qs10
+            _done(t)
+            break
     else:
         print("[warmup] 10M index cache absent — skipping (run sweep10m "
               "to build it)", flush=True)
