@@ -227,13 +227,34 @@ def run_open_loop(ex, reqs: np.ndarray, rate_qps: float, max_delay_ms: float,
     }
 
 
+def auto_max_delay_ms(batch: int, offered_qps: float,
+                      capacity_qps: float) -> float:
+    """The measured latency knee for the batching window (VERDICT r3
+    item 6; RESULTS.md round-3 serving: 5 -> 50 ms moved p50 261 -> 101
+    ms at 25% load with HIGHER throughput).  Two ceilings, take the min:
+
+    - ``fill``: time for the offered load to fill one batch — waiting
+      longer adds pure latency with zero extra batch fill;
+    - ``cycle``: the relay round-trip, estimated from saturated capacity
+      (capacity ≈ B / cycle on this relay) — once a batch carries a
+      cycle's worth of arrivals the pipeline is dispatch-bound and more
+      waiting only delays the head request.
+    """
+    fill_ms = 1e3 * batch / max(offered_qps, 1.0)
+    cycle_ms = 1e3 * batch / max(capacity_qps, 1.0)
+    return float(max(5.0, min(fill_ms, cycle_ms, 200.0)))
+
+
 def run_load_curve(dataset: str = "sift", batch: int = 4096, nprobe: int = 4,
                    k: int = 10, requests: int = 20000,
-                   max_delay_ms: float = 5.0, inflight: int = 8,
+                   max_delay_ms="auto", inflight: int = 8,
                    loads: tuple = (0.25, 0.5, 0.8), capacity: float | None = None,
                    quiet: bool = False) -> dict:
     """Latency-vs-offered-load table: a saturated run measures capacity,
-    then one open-loop run per load fraction."""
+    then one open-loop run per load fraction.  ``max_delay_ms="auto"``
+    retunes the batching window per offered load via
+    :func:`auto_max_delay_ms` (the capacity and latency protocols want
+    OPPOSITE windows — RESULTS.md round-3 serving)."""
     from rag_on_edge_tpu.harness.bench_ivf import build_or_load_index
 
     ds = load_dataset(dataset, gt_k=k)
@@ -244,10 +265,16 @@ def run_load_curve(dataset: str = "sift", batch: int = 4096, nprobe: int = 4,
     fn = lambda q: index.search_device(q, k, nprobe, mode="cluster")  # noqa: E731
     reqs = np.resize(ds.queries, (requests, ds.queries.shape[1])).astype(np.float32)
 
+    auto = max_delay_ms == "auto"
+    # The saturated capacity probe wants FULL batches: the submit loop
+    # costs ~4-5 µs/request, so a window below ~5 µs x B fires underfull
+    # launches (measured round 4: B=16384 at the old 5 ms default
+    # averaged 10.9K rows/launch — a 33% capacity leak).
+    probe_delay = max(10.0, batch * 5e-3) if auto else max_delay_ms
     out = {"dataset": dataset, "batch": batch, "nprobe": nprobe, "k": k,
            "inflight": inflight, "max_delay_ms": max_delay_ms, "curve": []}
     with BatchingExecutor(fn, dim=ds.base.shape[1], batch_size=batch,
-                          max_delay_ms=max_delay_ms, inflight=inflight) as ex:
+                          max_delay_ms=probe_delay, inflight=inflight) as ex:
         ex.submit(reqs[0]).result(timeout=600)
         if capacity is None:
             # Saturated capacity probe on the same executor (GC frozen —
@@ -268,14 +295,19 @@ def run_load_curve(dataset: str = "sift", batch: int = 4096, nprobe: int = 4,
             print(f"[executor open-loop] capacity={capacity:,.0f} QPS "
                   f"(B={batch} np={nprobe} inflight={inflight})", flush=True)
         for frac in loads:
-            row = run_open_loop(ex, reqs, frac * capacity, max_delay_ms)
+            delay = (auto_max_delay_ms(batch, frac * capacity, capacity)
+                     if auto else max_delay_ms)
+            ex.set_max_delay_ms(delay)
+            row = run_open_loop(ex, reqs, frac * capacity, delay)
             row["load"] = frac
+            row["max_delay_ms"] = round(delay, 1)
             out["curve"].append(row)
             if not quiet:
                 lm = row["latency_ms"]
                 print(f"[executor open-loop] load={frac:.0%} "
                       f"offered={row['offered_qps']:,.0f} "
                       f"achieved={row['achieved_qps']:,.0f} QPS  "
+                      f"delay={delay:.0f} ms  "
                       f"lat ms p50={lm['p50']:.1f} p95={lm['p95']:.1f} "
                       f"p99={lm['p99']:.1f}", flush=True)
     return out
@@ -289,7 +321,10 @@ def main(argv=None) -> None:
     p.add_argument("--nprobe", type=int, default=4)
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--requests", type=int, default=20000)
-    p.add_argument("--max-delay-ms", type=float, default=5.0)
+    p.add_argument("--max-delay-ms", default=5.0,
+                   type=lambda s: s if s == "auto" else float(s),
+                   help='batching window; "auto" (open-loop only) picks '
+                        "the per-load knee via auto_max_delay_ms")
     p.add_argument("--inflight", type=int, default=8)
     p.add_argument("--recover-passes", type=int, default=None,
                    help="pin recovery passes (auto scales with batch; "

@@ -234,6 +234,16 @@ class BatchingExecutor:
 
     # ------------------------------------------------------------------ API
 
+    def set_max_delay_ms(self, max_delay_ms: float) -> None:
+        """Retune the size-or-deadline window at runtime (the open-loop
+        load curve retunes per offered load — the latency knee moves
+        with arrival rate, harness/bench_executor.py).  Safe live: the
+        dispatcher reads ``max_delay_s`` fresh on every iteration and
+        its naps are bounded, so a new window takes effect within one
+        old-window nap; the wake cuts even that."""
+        self.max_delay_s = float(max_delay_ms) / 1e3
+        self._wake.set()
+
     def submit(self, query: np.ndarray) -> SliceFuture:
         """Enqueue one query [D] or a group [m, D] (m ≤ batch_size).
         Resolves to the pytree slice for these rows ([D] input → leading

@@ -426,3 +426,43 @@ def test_executor_drain_fusion_off_without_pack(small_data, index):
             np.testing.assert_array_equal(f.result(timeout=30)[1],
                                           direct_ids[i])
         assert ex.stats()["fused_drains"] == 0
+
+
+def test_executor_set_max_delay_live(small_data, index):
+    """set_max_delay_ms retunes the deadline window at runtime: a window
+    far above the test budget would strand an underfull batch; shrinking
+    it live must release the pending request promptly."""
+    import time
+
+    _, queries = small_data
+    with BatchingExecutor(
+        lambda q: index.search_device(q, k=3), dim=queries.shape[1],
+        batch_size=32, max_delay_ms=60_000.0,
+    ) as ex:
+        f = ex.submit(queries[0])
+        time.sleep(0.1)
+        assert not f.done()  # 60 s window: underfull batch is held
+        ex.set_max_delay_ms(5.0)
+        ids = f.result(timeout=10)[1]
+        direct_ids, _ = index.search(queries[:1], k=3)
+        np.testing.assert_array_equal(ids, direct_ids[0])
+
+
+def test_auto_max_delay_knee():
+    """auto_max_delay_ms = clamp(min(fill, cycle), 5, 200): below-capacity
+    loads get the relay-cycle window, near-capacity loads the batch-fill
+    time, and pathological rates hit the clamps."""
+    from rag_on_edge_tpu.harness.bench_executor import auto_max_delay_ms
+
+    # 25% of a 66K-capacity at B=4096: fill=248 ms, cycle=62 ms -> cycle.
+    assert auto_max_delay_ms(4096, 16_500, 66_000) == pytest.approx(
+        1e3 * 4096 / 66_000)
+    # At capacity, fill == cycle.
+    assert auto_max_delay_ms(4096, 66_000, 66_000) == pytest.approx(
+        1e3 * 4096 / 66_000)
+    # Overload (offered > capacity): fill < cycle -> fill.
+    assert auto_max_delay_ms(4096, 132_000, 66_000) == pytest.approx(
+        1e3 * 4096 / 132_000)
+    # Clamps: tiny batch -> floor 5 ms; tiny offered load -> ceiling 200.
+    assert auto_max_delay_ms(32, 66_000, 66_000) == 5.0
+    assert auto_max_delay_ms(65_536, 1_000, 2_000) == 200.0
