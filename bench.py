@@ -36,10 +36,12 @@ Secondary sections, in value order:
    (ms/batch) so "tunnel weather" is part of the record — capacity ≈
    B / cycle on this relay (RESULTS.md round-3 serving model).
 3. The pad_block=512 dial point of the headline workload.
-4. SIFT-1M brute force: the default 2k-rescored config
-   (``brute_rescored``, recall ≈ 0.998) AND the deeper-pool config that
-   restores the reference's exact-by-construction contract
-   (``main.cpp:36-57``) — see RESULTS.md pool-depth study.
+4. SIFT-1M brute force: the default accum config (``brute_rescored``,
+   recall ≈ 0.998 — the residual loss is bin collisions, which NO
+   rescore depth recovers; RESULTS.md pool-depth study) AND the exact
+   fused kernel (``engine="pallas"``, in-kernel f32-unit selection)
+   that matches the reference's exact-by-construction contract
+   (``main.cpp:36-57``).
 5. The reference's flagship SIFT-small INT8 config (5208 QPS on
    Snapdragon 8 Gen 2 HTP, README.md:143).  Stream numbers swing with
    relay sync cost (70K-637K across identical code) — report, never
@@ -54,9 +56,6 @@ import time
 REFERENCE_QPS = 5208.0   # reference README.md:143 (batch=32 INT8 brute force)
 TARGET_IVF_QPS = 100_000.0  # BASELINE.json north star, per v5e chip
 BUDGET_S = float(os.environ.get("RAG_EDGE_BENCH_BUDGET_S", "900"))
-# Rescore pool depth that restores >= 0.9999 recall@10 on SIFT-1M int8
-# accum (pool-depth study, RESULTS.md round 4).
-BRUTE_EXACT_DEPTH = 8
 
 _T0 = time.monotonic()
 
@@ -157,16 +156,21 @@ def _serving(batch: int = 16384, requests: int = 131072, nprobe: int = 4,
     return r, round(cycle_ms, 1)
 
 
-def _brute_1m(batch: int = 8192, k: int = 10, rescore_depth: int = 2):
-    """SIFT-1M brute force (accum engine + fp32 rescore).  Depth 2 is the
-    class default (recall@10 ≈ 0.998); BRUTE_EXACT_DEPTH restores the
-    reference's exact-by-construction contract (``main.cpp:36-57``)."""
+def _brute_1m(batch: int = 8192, k: int = 10, engine: str = "auto",
+              rescore: bool | None = None):
+    """SIFT-1M brute force.  engine="auto" picks the accum kernel + fp32
+    rescore (recall@10 ≈ 0.998 — the residual loss is accum bin
+    collisions, flat in rescore depth; RESULTS.md pool-depth study);
+    engine="pallas" + rescore=True is the measured exact-contract config
+    (per-tile binned selection has ~178x more candidate slots than
+    accum's global lane fold, so the rescore pool keeps the true top-10:
+    0.99995 recall@10 @ 124.1K — reference contract ``main.cpp:36-57``)."""
     from rag_on_edge_tpu.models.brute_force import BruteForceIndex
     from rag_on_edge_tpu.utils.datasets import load_dataset
 
     ds = load_dataset("sift", gt_k=max(k, 10))
     index = BruteForceIndex(ds.base, metric="l2", dtype="int8",
-                            rescore_depth=rescore_depth)
+                            engine=engine, rescore=rescore)
     q, r10, _ = _measure_search(index, ds, batch, k, {})
     return q, r10
 
@@ -272,10 +276,11 @@ def main() -> None:
         out["skipped_ivf_pb512"] = "budget"
 
     # Secondary 4: SIFT-1M brute force — the default rescored config and
-    # the exact-contract pool depth (RESULTS.md pool-depth study).
+    # the exact fused kernel (RESULTS.md pool-depth study: the exactness
+    # contract is an ENGINE choice, not a rescore depth).
     if _remaining() > 150:
         try:
-            bq, br = _brute_1m(rescore_depth=2)
+            bq, br = _brute_1m(engine="auto")
             out["sift1m_brute_rescored_qps_b8192"] = bq
             out["sift1m_brute_rescored_recall_at_10"] = br
         except Exception as e:
@@ -284,10 +289,10 @@ def main() -> None:
         out["skipped_brute_1m"] = "budget"
     if _remaining() > 120:
         try:
-            bq, br = _brute_1m(rescore_depth=BRUTE_EXACT_DEPTH)
+            bq, br = _brute_1m(engine="pallas", rescore=True)
             out["sift1m_brute_exact_qps_b8192"] = bq
             out["sift1m_brute_exact_recall_at_10"] = br
-            out["sift1m_brute_exact_rescore_depth"] = BRUTE_EXACT_DEPTH
+            out["sift1m_brute_exact_engine"] = "pallas+rescore"
         except Exception as e:
             out["error_brute_exact"] = repr(e)
     else:

@@ -80,12 +80,12 @@ def main() -> int:
     del qs16
     _done(t)
 
-    t = _stage("compile+run: brute 1M rescored (depth 2) + exact (depth 8) B=8192 k=10")
+    t = _stage("compile+run: brute 1M rescored (accum) + exact (pallas) B=8192 k=10")
     brute = BruteForceIndex(ds.base, metric="l2", dtype="int8")
     jax.block_until_ready(brute.search_device(qs, 10))
     del brute
     brute_x = BruteForceIndex(ds.base, metric="l2", dtype="int8",
-                              rescore_depth=8)
+                              engine="pallas")
     jax.block_until_ready(brute_x.search_device(qs, 10))
     del brute_x
     _done(t)

@@ -61,8 +61,12 @@ class BruteForceIndex:
         packed-accumulation kernel (ops/pallas_bruteforce_dma.py) —
         ~4x faster (489K vs 114K QPS on SIFT-1M int8 B=8192),
         approximate by per-(column mod tile_n) bins: expected loss
-        C(k,2)/tile_n per query (~0.2% at k=10), recoverable with
-        ``rescore``.  "auto" picks accum once N ≥ 100K.
+        C(k,2)/tile_n per query (~0.2% at k=10).  The collision loss is
+        NOT recoverable by rescoring at any pool depth — a collided item
+        is dropped before the selection pool forms (measured flat 0.9980
+        across rescore_depth 2/4/8, RESULTS.md pool-depth study); the
+        exact contract is ``engine="pallas"``.  "auto" picks accum once
+        N ≥ 100K.
     rescore : select 2k candidates in the engine's fast domain and
         recompute their exact fp32 scores before the final top-k —
         restores exact recall at the cost of keeping an fp32 copy of the
@@ -74,11 +78,14 @@ class BruteForceIndex:
         Applies to every dtype including fp32 (the approximation is the
         engine's, not the dtype's).
     rescore_depth : rescore pool = ``rescore_depth * k`` candidates (min
-        k+1, capped at N).  2 (default) measured recall@10 0.9980 on
-        SIFT-1M int8 B=8192 — the residual loss is true top-10 entries
-        whose int8 rank falls below 2k, plus accum bin collisions; deeper
-        pools buy recall with a larger in-kernel selection + rescore
-        gather (see RESULTS.md pool-depth study).
+        k+1, capped at N).  Leave at 2 (default): the pool-depth study
+        (RESULTS.md) measured recall@10 FLAT at 0.9980 across depths
+        2/4/8 on SIFT-1M int8 B=8192 (444K → 275K QPS) — the residual
+        loss is accum bin collisions, which happen before the pool
+        forms — and depth 16's selection temporaries exceed scoped VMEM
+        (compile failure).  The knob exists for corpora whose int8-vs-
+        fp32 rank disagreement (the loss mode depth CAN fix) dominates
+        collisions; SIFT is not one.
     device : optional jax.Device to place the index on.
     """
 

@@ -252,6 +252,13 @@ def fused_topk_matmul(
 
     if tile_n is None:
         tile_n = auto_tile_n(tile_b, n, 4, base_t.dtype.itemsize)
+        if alpha is not None and tile_n > 512:
+            # The L2 alpha/bias variant carries per-column f32 state
+            # (bias tiles + the true-score conversion temporaries) on top
+            # of the score tile; at the exact-budget tile it overflows
+            # scoped VMEM by ~0.3 MB (measured v5e, B=8192 int8 l2 exact:
+            # 16.29M vs the 16M limit) — one 512-column step clears it.
+            tile_n -= 512
     if nbins and tile_n % nbins:
         raise ValueError(f"tile_n={tile_n} must be a multiple of nbins={nbins}")
     pad_n = (-n) % tile_n
