@@ -30,14 +30,20 @@ __all__ = ["run", "main"]
 
 
 def _device_batches(queries: np.ndarray, batch: int, min_batches: int = 8):
-    """Pre-staged device batches (zero-padded tail, like main.cpp:206-211);
-    tiled up to ``min_batches`` so throughput timing has enough work."""
+    """Pre-staged device batches (padded tail, the role of
+    main.cpp:206-211's tail handling); tiled up to ``min_batches`` so
+    throughput timing has enough work.  The tail pads by CYCLIC REPEAT,
+    not zeros: a block of identical zero queries all probes the same few
+    IVF cells, which both exhausts those clusters' routing capacity
+    (evicting real pairs) and makes the padded batch unrepresentatively
+    slow/spilly in the timing loop (measured round 4 — see
+    IVFIndex.search)."""
     nq = queries.shape[0]
     batches = []
     for start in range(0, nq, batch):
         chunk = queries[start : start + batch]
         if chunk.shape[0] < batch:
-            chunk = np.pad(chunk, ((0, batch - chunk.shape[0]), (0, 0)))
+            chunk = np.resize(chunk, (batch, chunk.shape[1]))
         batches.append(jnp.asarray(chunk))
     while len(batches) < min_batches:
         batches = batches + batches

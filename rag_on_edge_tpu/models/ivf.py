@@ -1209,41 +1209,62 @@ class IVFIndex:
         that do split (or recall-tolerant serving)."""
         return min(rescore_k or 2 * k, self.n) if rescore else k
 
-    def _auto_recover(self, batch: int, nprobe: int,
-                      capacity_factor: float = 8.0) -> bool:
-        """Recovery is worth its cost exactly when ``_auto_qcap`` was
-        clamped below its capacity-factor target (only then do hot clusters
-        spill: measured on SIFT-1M B=2048, spill is 0 up to nprobe=16 where
-        qcap ≥ 8x the mean load, and 4.5K pairs at nprobe=32 where the 256
-        cap is 4x the mean load)."""
+    def _est_max_load(self, batch: int, nprobe: int) -> float:
+        """Expected HOTTEST-cluster load for a batch of real queries — the
+        yardstick routing capacity must clear (``invert_probes`` drops
+        pairs above qcap).
+
+        The mean load B·nprobe/nlist is the WRONG yardstick at fine
+        quantizers: query popularity concentrates on a few cells, and the
+        max/mean ratio GROWS with nlist.  Measured via
+        :meth:`required_qcap` on real query batches (B=8192, round-4
+        diagnosis of the 10M np-inversion anomaly):
+
+        - nlist=1024 (SIFT-1M):  max ≈ 6-8x mean (np=16/B=2048 is
+          spill-free at qcap = 8x mean; np=32 max ≈ 6x mean)
+        - nlist=8192 (SIFT-10M): max/mean = 32/32/30 at np=4/8/16
+          (required_qcap 128/256/480 vs mean loads 4/8/16)
+
+        The clipped-linear skew term interpolates those calibration
+        points.  It is a heuristic for DEFAULTS: residual spill is still
+        counted and returned, recovery passes absorb estimate misses, and
+        :meth:`required_qcap` measures the true value for one batch."""
         mean_load = batch * min(nprobe, self.nlist) / self.nlist
-        qcap = self._auto_qcap(batch, nprobe, capacity_factor)
+        skew = float(np.clip(self.nlist / 256.0, 8.0, 32.0))
+        return min(float(batch), skew * mean_load)
+
+    def _auto_recover(self, batch: int, nprobe: int) -> bool:
+        """Recovery auto-engages when the estimated hottest-cluster load
+        exceeds the routing capacity — the regime where ``invert_probes``
+        drops pairs.
+
+        Round-4 regression this rule encodes: the previous MEAN-load test
+        (qcap < 8x mean) left recovery OFF on SIFT-10M at nlist=8192,
+        where max load is ~30x mean — np=16 silently dropped 21.8K lossy
+        pairs per batch and recall@10 INVERTED with nprobe
+        (0.9981/0.9955/0.9619 at np=4/8/16).  With recovery the same
+        configs measure 0.9983 (see RESULTS.md round-4 anomaly section)."""
+        qcap = self._auto_qcap(batch, nprobe)
         # qcap >= batch can never spill: a cluster's load is at most B.
-        return qcap < batch and qcap < capacity_factor * mean_load
+        return qcap < batch and qcap < self._est_max_load(batch, nprobe)
 
     def _auto_recover_passes(self, batch: int, nprobe: int, recover_qcap: int,
-                             capacity_factor: float | None = None,
                              max_passes: int = 8) -> int:
-        """Recovery passes to absorb the expected hot-cluster overflow:
-        enough combined capacity (qcap + passes·recover_qcap) to reach
-        capacity_factor x the mean cluster load.
+        """Recovery passes sized so the combined capacity
+        (qcap + passes·recover_qcap) reaches the estimated hottest-cluster
+        load (:meth:`_est_max_load`).
 
-        The targets are measured on SIFT-1M, not guessed.  At nprobe ≤ 8
-        recall@10 saturates once total capacity reaches ~5x the mean load
-        (B=16K/np=8: 1 pass (3x) 0.9853 / 302K QPS, 2 passes (5x) 0.9969 /
-        250K, 4 passes 0.9969 / 188K; B=32K/np=4: 1 pass (4x) already
-        0.9945 / 440K).  At nprobe ≥ 16 recovery is COVERAGE-limited, not
-        just capacity-limited — more clusters run hot than one pass's
-        compacted block list reaches, and passes rotate coverage — so the
-        target doubles to ~10x (B=8192/np=16: 2 passes (6x) 0.9879, 4
-        passes (10x) 0.9983 / 104K; B=8192/np=32: 8 passes (9x) 0.9991).
-        Each pass costs ~20% throughput; the cap keeps genuinely
-        pathological skew counted as residual spill rather than chased
-        forever."""
-        if capacity_factor is None:
-            capacity_factor = 5.0 + 5.0 * float(np.clip((nprobe - 8) / 8, 0, 1))
-        mean_load = batch * min(nprobe, self.nlist) / self.nlist
-        need = capacity_factor * mean_load - self._auto_qcap(batch, nprobe)
+        Calibration (SIFT-10M nlist=8192 B=8192, round-4 diagnosis —
+        exact spill counts + recall vs passes): np=16 needs 480 total
+        capacity (estimate 512 → 3 passes: measured spill 21,784 → 0 and
+        recall@10 0.9619 → 0.9983); np=8 needs 256 (→ 1 pass).  On
+        1M/nlist=1024 the estimate brackets the round-2 measured recall
+        saturation points (B=16K/np=8: measured saturation at 2 passes,
+        estimate 3; B=8192/np=16: measured 0.9879 at 2 / 0.9983 at 4,
+        estimate 3).  Each pass costs ~20% throughput; the cap keeps
+        genuinely pathological skew counted as residual spill rather than
+        chased forever."""
+        need = self._est_max_load(batch, nprobe) - self._auto_qcap(batch, nprobe)
         return int(np.clip(-(-need // max(recover_qcap, 1)), 1, max_passes))
 
     def required_qcap(self, queries: jax.Array | np.ndarray, nprobe: int,
@@ -1473,7 +1494,16 @@ class IVFIndex:
             chunk = queries[start : start + bs]
             pad = bs - chunk.shape[0]
             if pad:
-                chunk = np.pad(chunk, ((0, pad), (0, 0)))
+                # Cyclic-repeat padding, NOT zeros: pad rows route through
+                # the same coarse stage as real rows, and a block of
+                # identical zero queries all probes the SAME few cells —
+                # measured (round-4 10M diag, nlist=8192): a 1808-real +
+                # 6384-zero-pad batch carried ~94K lossy pad pairs that
+                # exhausted hot clusters' qcap slots (evicting REAL pairs)
+                # and burned recovery passes on discarded rows.  Repeats
+                # probe the same cells as their source row — at most one
+                # duplicate load each.
+                chunk = np.resize(chunk, (bs, chunk.shape[1]))
             vals, ids, ncand = self.search_device(
                 jnp.asarray(chunk), k, nprobe, mode=mode, engine=engine,
                 rescore=rescore, recover=recover,

@@ -425,3 +425,54 @@ def test_xla_engine_exact_on_skewed_clusters():
                                 engine="xla")
     np.testing.assert_allclose(np.asarray(scores), s_bf, rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(ids), ids_bf)
+
+
+def test_recovery_heuristics_skew_aware():
+    """Round-4 regression (10M np-inversion anomaly): at fine quantizers
+    the hottest cluster's load is ~30x the mean (measured required_qcap
+    480 vs mean 16 at nlist=8192/np=16/B=8192), so the mean-load rule
+    left auto-recovery OFF while 21.8K lossy pairs/batch were dropped —
+    recall@10 INVERTED with nprobe (0.9981/0.9955/0.9619).  The
+    est-max-load heuristics must engage recovery there with enough
+    passes, while keeping it OFF for the spill-free 1M headline."""
+    def fake_index(nlist):
+        # The heuristics are pure functions of (nlist, batch, nprobe) —
+        # exercise them at 10M-scale nlist without a 10M build.
+        idx = IVFIndex.__new__(IVFIndex)
+        idx.nlist = nlist
+        return idx
+
+    fine = fake_index(8192)
+    # auto_qcap at B=8192: mean loads 4/8/16 -> capped at 128
+    assert IVFIndex._auto_qcap(fine, 8192, 4) == 128
+    assert IVFIndex._auto_qcap(fine, 8192, 16) == 128
+    # est max load interpolates the measured skew (~32x mean at 8192)
+    assert IVFIndex._est_max_load(fine, 8192, 16) == pytest.approx(512.0)
+    # recovery engages at np>=8 (measured spill), stays off at np=4
+    # (measured required_qcap == qcap == 128, zero spill)
+    assert not IVFIndex._auto_recover(fine, 8192, 4)
+    assert IVFIndex._auto_recover(fine, 8192, 8)
+    assert IVFIndex._auto_recover(fine, 8192, 16)
+    # pass sizing reaches the measured required capacity: np=16 needs 480
+    # total -> 3 passes of 128 on top of qcap 128 (measured: spill -> 0,
+    # recall@10 0.9619 -> 0.9983); np=8 needs 256 -> 1 pass
+    assert IVFIndex._auto_recover_passes(fine, 8192, 16, recover_qcap=128) == 3
+    assert IVFIndex._auto_recover_passes(fine, 8192, 8, recover_qcap=128) == 1
+    # 1M headline (nlist=1024, B=8192, np=4): est max == qcap == 256,
+    # recovery stays off — the 577K QPS config is unchanged
+    coarse = fake_index(1024)
+    assert not IVFIndex._auto_recover(coarse, 8192, 4)
+
+
+def test_search_pads_tail_with_repeats(small_data, ivf):
+    """The host API's tail padding must not perturb REAL rows: zero-pad
+    rows all probe the same few cells and exhaust those clusters' qcap
+    slots (measured round 4: 6384 zero-pad rows carried ~94K lossy pairs
+    and evicted real pairs).  Cyclic-repeat padding keeps tail-batch
+    results identical to the unpadded search."""
+    _, queries = small_data
+    ids_full, _, _ = ivf.search(queries, k=5, nprobe=4, mode="cluster")
+    # batch_size=24 over 32 queries -> second batch is 8 real + 16 pad
+    ids_pad, _, _ = ivf.search(queries, k=5, nprobe=4, batch_size=24,
+                               mode="cluster")
+    np.testing.assert_array_equal(ids_pad, ids_full)
