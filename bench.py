@@ -18,23 +18,25 @@ every number because the old script printed once at exit):
   relay outage can no longer destroy an already-measured headline.
   (Reference analog: metrics.txt is written incrementally per run,
   ``main.cpp:320-390`` — never only at process exit.)
-- A wall-clock budget (``RAG_EDGE_BENCH_BUDGET_S``, default 900 s) is
+- A wall-clock budget (``RAG_EDGE_BENCH_BUDGET_S``, default 1260 s) is
   checked before each secondary section; when exceeded, remaining
   sections are skipped and whatever was measured is emitted.
 - ``rag_on_edge_tpu.harness.warmup`` pre-builds the datasets/indexes and
   pre-compiles every program this script runs into the persistent cache,
   so the driver run pays no cold remote compiles.
 
-Secondary sections, in value order:
+Secondary sections, in value order (serving runs FIRST — it needs only
+the 1M index the headline just warmed; the 10M load is the expensive
+section and must not gate it — VERDICT r4 item 1):
 
-1. **SIFT-10M flagship** (nlist=8192, spill_eps=0.1, np=4, compact
-   store; round-3 nlist=4096/np=8 artifact as fallback) — LOADS the
-   cached index only; a missing cache skips the section (the build is
-   ~45 min — run sweep10m or warmup first).
-2. **Serving executor**: singleton submits through the BatchingExecutor
+1. **Serving executor**: singleton submits through the BatchingExecutor
    at B=16384 (saturated protocol), plus a serialized relay-cycle probe
    (ms/batch) so "tunnel weather" is part of the record — capacity ≈
    B / cycle on this relay (RESULTS.md round-3 serving model).
+2. **SIFT-10M flagship** (nlist=8192, spill_eps=0.1, np=4, compact
+   store; round-3 nlist=4096/np=8 artifact as fallback) — LOADS the
+   cached index only; a missing cache skips the section (the build is
+   ~45 min — run sweep10m or warmup first).
 3. The pad_block=512 dial point of the headline workload.
 4. SIFT-1M brute force: the default accum config (``brute_rescored``,
    recall ≈ 0.998 — the residual loss is bin collisions, which NO
@@ -55,7 +57,7 @@ import time
 
 REFERENCE_QPS = 5208.0   # reference README.md:143 (batch=32 INT8 brute force)
 TARGET_IVF_QPS = 100_000.0  # BASELINE.json north star, per v5e chip
-BUDGET_S = float(os.environ.get("RAG_EDGE_BENCH_BUDGET_S", "900"))
+BUDGET_S = float(os.environ.get("RAG_EDGE_BENCH_BUDGET_S", "1260"))
 
 _T0 = time.monotonic()
 
@@ -69,9 +71,10 @@ def _emit(out: dict) -> None:
 
 
 def _measure_search(idx, ds, batch: int, k: int, search_kw: dict):
-    """Shared measurement body: recall over the batch's distinct query
-    rows + sustained throughput over distinct-input variants (relay
-    caching — harness/timing.py)."""
+    """Shared measurement body: recall over ALL query rows (the harness
+    protocol — metrics.txt/RESULTS.md use the full 10K query set, so the
+    bench must too; VERDICT r4 weak-5) + sustained throughput over
+    distinct-input variants (relay caching — harness/timing.py)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -79,14 +82,21 @@ def _measure_search(idx, ds, batch: int, k: int, search_kw: dict):
     from rag_on_edge_tpu.harness import timing
     from rag_on_edge_tpu.utils.metrics import recall_at_k
 
-    nr = min(ds.queries.shape[0], batch)
-    qs = np.resize(ds.queries, (batch, ds.queries.shape[1]))
+    nq = ds.queries.shape[0]
     f = lambda x: idx.search_device(x, k, **search_kw)  # noqa: E731
-    out = jax.block_until_ready(f(jnp.asarray(qs)))
-    ids = out[1]
+    ids_parts = []
+    for s in range(0, nq, batch):
+        chunk = ds.queries[s:s + batch]
+        # Tail batches pad by cyclic repeat of the CHUNK (zero/identical
+        # pads evict real pairs from qcap slots — RESULTS.md round 4).
+        qs_c = np.resize(chunk, (batch, chunk.shape[1]))
+        out = jax.block_until_ready(f(jnp.asarray(qs_c)))
+        ids_parts.append(np.asarray(out[1])[: chunk.shape[0]])
+    ids = np.concatenate(ids_parts)
     gt = ds.ground_truth_l2
-    recall = recall_at_k(np.asarray(ids)[:nr], gt[:nr], k)
-    recall1 = recall_at_k(np.asarray(ids)[:nr, :1], gt[:nr, :1], 1)
+    recall = recall_at_k(ids, gt[:nq], k)
+    recall1 = recall_at_k(ids[:, :1], gt[:nq, :1], 1)
+    qs = np.resize(ds.queries, (batch, ds.queries.shape[1]))
     batches = [jnp.asarray(b) for b in timing.unique_variants([qs], copies=4)]
     qps = timing.measure_throughput(f, batches, repeats=3)
     return round(qps, 1), round(float(recall), 4), round(float(recall1), 4)
@@ -149,10 +159,15 @@ def _serving(batch: int = 16384, requests: int = 131072, nprobe: int = 4,
                               pad_block=2048)
     fn = lambda q: idx.search_device(  # noqa: E731
         q, k, nprobe, mode="cluster", recover_passes=1)
-    cycle_ms = bench_executor.relay_cycle_probe(fn, ds.base.shape[1], batch)
+    # Probe at the serving wire format (uint8 for integral corpora —
+    # round 5: the fp32 upload was ~80% of the cycle on a bandwidth-
+    # priced relay window; the serving run below uploads uint8 too).
+    wd = bench_executor._wire_dtype(ds.queries, "auto")
+    cycle_ms = bench_executor.relay_cycle_probe(fn, ds.base.shape[1], batch,
+                                                wire_dtype=wd)
     r = bench_executor.run(dataset="sift", batch=batch, nprobe=nprobe, k=k,
                            requests=requests, recover_passes=1, quiet=True,
-                           max_delay_ms=75.0)
+                           max_delay_ms=75.0, index=idx)
     return r, round(cycle_ms, 1)
 
 
@@ -223,7 +238,27 @@ def main() -> None:
     if out["value"] is not None:
         _emit(out)
 
-    # Secondary 1: the SIFT-10M flagship (cached artifacts only) —
+    # Secondary 1: serving executor at B=16384 + relay-cycle probe.
+    # RUNS BEFORE the 10M section (VERDICT r4 item 1: the old ordering
+    # put serving after the expensive 10M load, which ate the budget two
+    # rounds running) — serving needs only the 1M index the headline
+    # just warmed, so it is the cheap section.
+    if _remaining() > 240:
+        try:
+            r, cycle_ms = _serving()
+            out["serving_qps"] = r["qps_end_to_end"]
+            out["serving_recall_at_10"] = r["recall"]
+            out["serving_batch"] = r["batch"]
+            out["serving_avg_rows_per_launch"] = r["pipeline"]["avg_rows_per_batch"]
+            out["serving_wire"] = r["wire"]
+            out["relay_cycle_ms_b16384"] = cycle_ms
+        except Exception as e:
+            out["error_serving"] = repr(e)
+    else:
+        out["skipped_serving"] = "budget"
+    _emit(out)  # checkpoint: serving evidence survives a later timeout
+
+    # Secondary 2: the SIFT-10M flagship (cached artifacts only) —
     # driver-captured evidence for the number RESULTS.md reports
     # (0.9981 recall@10 @ 350K QPS, nlist=8192/eps=0.1/np=4; falls back
     # to the round-3 nlist=4096/np=8 artifact if 8192 is absent).
@@ -245,20 +280,6 @@ def main() -> None:
     else:
         out["skipped_sift10m"] = "budget"
     _emit(out)  # checkpoint: 10M evidence survives a later timeout
-
-    # Secondary 2: serving executor at B=16384 + relay-cycle probe.
-    if _remaining() > 240:
-        try:
-            r, cycle_ms = _serving()
-            out["serving_qps"] = r["qps_end_to_end"]
-            out["serving_recall_at_10"] = r["recall"]
-            out["serving_batch"] = r["batch"]
-            out["serving_avg_rows_per_launch"] = r["pipeline"]["avg_rows_per_batch"]
-            out["relay_cycle_ms_b16384"] = cycle_ms
-        except Exception as e:
-            out["error_serving"] = repr(e)
-    else:
-        out["skipped_serving"] = "budget"
 
     # Secondary 3: the pad_block=512 dial point of the SAME headline
     # workload — the accum engine still engages at nlist=1024 (clusters

@@ -38,31 +38,64 @@ from rag_on_edge_tpu.utils.cache import enable_compilation_cache
 from rag_on_edge_tpu.utils.datasets import load_dataset
 
 
+def _wire_dtype(queries: np.ndarray, wire: str):
+    """Resolve the upload wire format.  "auto": uint8 when the query
+    corpus is integral in [0, 255] (real SIFT and the synthetic sets
+    both are) — a LOSSLESS 4x upload shrink, decisive on bandwidth-
+    priced relay windows (~24 ms/MB round 5: the fp32 upload was ~80%
+    of the serving cycle).  The device program casts back to f32 in its
+    own jit (search_device does)."""
+    if wire == "f32":
+        return None
+    integral = (queries.min() >= 0 and queries.max() <= 255
+                and np.all(queries == np.rint(queries)))
+    if wire == "uint8":
+        if not integral:
+            raise ValueError("wire='uint8' needs integral queries in [0,255]")
+        return np.uint8
+    return np.uint8 if integral else None  # auto
+
+
 def run(dataset: str = "sift", batch: int = 2048, nprobe: int = 4, k: int = 10,
         requests: int = 20000, max_delay_ms: float = 5.0, inflight: int = 8,
-        recover_passes: int | None = None, quiet: bool = False) -> dict:
+        recover_passes: int | None = None, quiet: bool = False,
+        index=None, wire: str = "auto") -> dict:
     from rag_on_edge_tpu.harness.bench_ivf import build_or_load_index
 
     ds = load_dataset(dataset, gt_k=k)
-    pad_block = 2048 if ds.base.shape[0] >= 500_000 else None
-    index = build_or_load_index(ds, nlist=None, metric="l2", dtype="int8",
-                                pad_block=pad_block)
+    if index is None:
+        # Callers that already hold the index (serve_hunt's weather
+        # probe) pass it in — two device-resident copies of the padded
+        # slabs + fp32 store would otherwise coexist for the whole run.
+        pad_block = 2048 if ds.base.shape[0] >= 500_000 else None
+        index = build_or_load_index(ds, nlist=None, metric="l2", dtype="int8",
+                                    pad_block=pad_block)
     # recover_passes: the auto heuristic scales passes with batch, which
     # at B>=32K picks multi-pass recovery programs; at nprobe<=4 residual
     # spill is recall-neutral (RESULTS round 2), so serving configs pin
     # recover_passes=1 for max throughput.
     rp = recover_passes
-    index.compile(batch, k, nprobe, mode="cluster", recover_passes=rp)
     fn = lambda q: index.search_device(q, k, nprobe, mode="cluster",  # noqa: E731
                                        recover_passes=rp)
 
     nq = ds.queries.shape[0]
     reqs = np.resize(ds.queries, (requests, ds.queries.shape[1])).astype(np.float32)
+    wd = _wire_dtype(ds.queries, wire)
+    # Warm-compile the search program at the WIRE dtype (the executor's
+    # first dispatch would otherwise pay the compile inside the timed
+    # pipeline warmup; the uint8-traced program is distinct from f32's).
+    import jax
+
+    import jax.numpy as jnp
+
+    jax.block_until_ready(fn(jnp.zeros((batch, ds.base.shape[1]),
+                                       dtype=wd or np.float32)))
 
     import gc
 
     with BatchingExecutor(fn, dim=ds.base.shape[1], batch_size=batch,
-                          max_delay_ms=max_delay_ms, inflight=inflight) as ex:
+                          max_delay_ms=max_delay_ms, inflight=inflight,
+                          wire_dtype=wd) as ex:
         # Warm the pipeline (compile happens on the first dispatch).
         ex.submit(reqs[0]).result(timeout=600)
         stats0 = ex.stats()
@@ -109,6 +142,7 @@ def run(dataset: str = "sift", batch: int = 2048, nprobe: int = 4, k: int = 10,
         "dataset": dataset, "requests": requests, "batch": batch,
         "nprobe": nprobe, "k": k, "inflight": inflight,
         "max_delay_ms": max_delay_ms,
+        "wire": str(np.dtype(wd)) if wd is not None else "float32",
         "qps_end_to_end": round(qps, 1),
         "recall": round(float(recall), 4),
         "latency_ms": {"mean": round(lat.mean, 3), "p50": round(lat.p50, 3),
@@ -125,19 +159,22 @@ def run(dataset: str = "sift", batch: int = 2048, nprobe: int = 4, k: int = 10,
 
 
 def relay_cycle_probe(fn, dim: int, batch: int, cycles: int = 4,
-                      seed: int = 0) -> float:
+                      seed: int = 0, wire_dtype=None) -> float:
     """Serialized upload→execute→fetch cost, ms per batch (the "weather"
     reading).  Each cycle uploads a DISTINCT host batch, runs ``fn`` and
     fetches the full result before the next starts — no pipelining, so
     the number is the per-interaction relay latency serving capacity
     divides by (capacity ≈ B / cycle).  Identical inputs can be served
     from a relay cache (harness/timing.py), hence fresh randoms per
-    cycle; the first (warm) cycle is dropped."""
+    cycle; the first (warm) cycle is dropped.  ``wire_dtype`` must match
+    the serving path's upload format (uint8 vs f32 is a 4x payload
+    difference — a different cycle on bandwidth-priced windows)."""
     import jax
     import jax.numpy as jnp
 
     rng = np.random.default_rng(seed)
-    qs = rng.uniform(0.0, 100.0, size=(cycles + 1, batch, dim)).astype(np.float32)
+    qs = rng.uniform(0.0, 100.0, size=(cycles + 1, batch, dim)).astype(
+        wire_dtype or np.float32)
     times = []
     for i in range(cycles + 1):
         t0 = time.perf_counter()
@@ -249,7 +286,7 @@ def run_load_curve(dataset: str = "sift", batch: int = 4096, nprobe: int = 4,
                    k: int = 10, requests: int = 20000,
                    max_delay_ms="auto", inflight: int = 8,
                    loads: tuple = (0.25, 0.5, 0.8), capacity: float | None = None,
-                   quiet: bool = False) -> dict:
+                   quiet: bool = False, wire: str = "auto") -> dict:
     """Latency-vs-offered-load table: a saturated run measures capacity,
     then one open-loop run per load fraction.  ``max_delay_ms="auto"``
     retunes the batching window per offered load via
@@ -261,9 +298,14 @@ def run_load_curve(dataset: str = "sift", batch: int = 4096, nprobe: int = 4,
     pad_block = 2048 if ds.base.shape[0] >= 500_000 else None
     index = build_or_load_index(ds, nlist=None, metric="l2", dtype="int8",
                                 pad_block=pad_block)
-    index.compile(batch, k, nprobe, mode="cluster")
     fn = lambda q: index.search_device(q, k, nprobe, mode="cluster")  # noqa: E731
     reqs = np.resize(ds.queries, (requests, ds.queries.shape[1])).astype(np.float32)
+    wd = _wire_dtype(ds.queries, wire)
+    import jax
+    import jax.numpy as jnp
+
+    jax.block_until_ready(fn(jnp.zeros((batch, ds.base.shape[1]),
+                                       dtype=wd or np.float32)))
 
     auto = max_delay_ms == "auto"
     # The saturated capacity probe wants FULL batches: the submit loop
@@ -272,9 +314,12 @@ def run_load_curve(dataset: str = "sift", batch: int = 4096, nprobe: int = 4,
     # averaged 10.9K rows/launch — a 33% capacity leak).
     probe_delay = max(10.0, batch * 5e-3) if auto else max_delay_ms
     out = {"dataset": dataset, "batch": batch, "nprobe": nprobe, "k": k,
-           "inflight": inflight, "max_delay_ms": max_delay_ms, "curve": []}
+           "inflight": inflight, "max_delay_ms": max_delay_ms,
+           "wire": str(np.dtype(wd)) if wd is not None else "float32",
+           "curve": []}
     with BatchingExecutor(fn, dim=ds.base.shape[1], batch_size=batch,
-                          max_delay_ms=probe_delay, inflight=inflight) as ex:
+                          max_delay_ms=probe_delay, inflight=inflight,
+                          wire_dtype=wd) as ex:
         ex.submit(reqs[0]).result(timeout=600)
         if capacity is None:
             # Saturated capacity probe on the same executor (GC frozen —
@@ -335,6 +380,9 @@ def main(argv=None) -> None:
     p.add_argument("--loads", type=float, nargs="+", default=[0.25, 0.5, 0.8])
     p.add_argument("--capacity", type=float, default=None,
                    help="skip the capacity probe and use this QPS")
+    p.add_argument("--wire", default="auto", choices=["auto", "uint8", "f32"],
+                   help="query upload format (auto: uint8 when the corpus "
+                        "is integral in [0,255] — lossless, 4x less upload)")
     p.add_argument("--json", action="store_true")
     args = p.parse_args(argv)
     if args.open_loop:
@@ -343,13 +391,14 @@ def main(argv=None) -> None:
                            requests=args.requests,
                            max_delay_ms=args.max_delay_ms,
                            inflight=args.inflight, loads=tuple(args.loads),
-                           capacity=args.capacity, quiet=args.json)
+                           capacity=args.capacity, quiet=args.json,
+                           wire=args.wire)
     else:
         r = run(dataset=args.dataset, batch=args.batch, nprobe=args.nprobe,
                 k=args.k, requests=args.requests,
                 max_delay_ms=args.max_delay_ms,
                 inflight=args.inflight, recover_passes=args.recover_passes,
-                quiet=args.json)
+                quiet=args.json, wire=args.wire)
     if args.json:
         print(json.dumps(r))
 

@@ -77,6 +77,11 @@ def main() -> int:
     qs16 = jnp.asarray(np.resize(ds.queries, (16384, ds.queries.shape[1])))
     jax.block_until_ready(
         idx.search_device(qs16, 10, 4, mode="cluster", recover_passes=1))
+    # The serving path uploads uint8 (lossless for integral corpora) and
+    # casts to f32 inside the jit — a DISTINCT traced program from f32's.
+    jax.block_until_ready(
+        idx.search_device(qs16.astype(jnp.uint8), 10, 4, mode="cluster",
+                          recover_passes=1))
     del qs16
     _done(t)
 

@@ -187,14 +187,25 @@ class BatchingExecutor:
         unpacks column views, so no extra copies on the result path.
         Auto-disables (permanently, first batch) when any leaf has a
         non-4-byte dtype or there is only one leaf to begin with.
+    wire_dtype : dtype of the UPLOADED query batch (default float32).
+        On a bandwidth-priced relay window (round-5 probe: ~24 ms/MB,
+        per-array ≈ 0) the fp32 query upload is the dominant serving
+        term — B=16384 x 128d x 4B = 8.4 MB ≈ 200 ms of a 252 ms cycle.
+        Integral corpora (SIFT values are uint8-ranged; the synthetic
+        sets round to [0, 141]) upload LOSSLESSLY as uint8 at 1/4 the
+        bytes: pass ``wire_dtype=np.uint8`` and a ``fn`` whose jitted
+        body casts to f32 (both index types' ``search_device`` already
+        do).  The cast happens batch-at-a-time at staging-buffer fill
+        (one C-level assignment), never on the per-request hot path.
     """
 
     def __init__(self, fn, dim: int, batch_size: int = 32,
                  max_delay_ms: float = 2.0, inflight: int = 4,
-                 pack: bool | str = "auto"):
+                 pack: bool | str = "auto", wire_dtype=None):
         self._fn = fn
         self.dim = int(dim)
         self.batch_size = int(batch_size)
+        self.wire_dtype = np.dtype(wire_dtype) if wire_dtype is not None else _F32
         self.max_delay_s = float(max_delay_ms) / 1e3
         # Queue of SliceFuture items (payload rides on the future);
         # deque.append is GIL-atomic, so the submit path takes no lock.
@@ -505,8 +516,11 @@ class BatchingExecutor:
             rec = _BatchRecord()
             # Fresh buffer per batch: jnp.asarray can be ZERO-COPY (CPU
             # backend aliases the numpy buffer), so a reused staging buffer
-            # would corrupt batches still in flight.
-            buf = np.zeros((self.batch_size, self.dim), dtype=np.float32)
+            # would corrupt batches still in flight.  The buffer carries
+            # the WIRE dtype: filling it from the f32 request rows is one
+            # C-level casting assignment per batch (uint8 wire = 4x less
+            # upload on a bandwidth-priced relay; see class docstring).
+            buf = np.zeros((self.batch_size, self.dim), dtype=self.wire_dtype)
             r0 = 0
             groups = False
             for fut in taken:
