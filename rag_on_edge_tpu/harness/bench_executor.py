@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -384,6 +385,9 @@ def main(argv=None) -> None:
                    help="query upload format (auto: uint8 when the corpus "
                         "is integral in [0,255] — lossless, 4x less upload)")
     p.add_argument("--json", action="store_true")
+    p.add_argument("--outdir", default="results",
+                   help="persist the result dict as a stamped JSON artifact "
+                        '("" disables)')
     args = p.parse_args(argv)
     if args.open_loop:
         r = run_load_curve(dataset=args.dataset, batch=args.batch,
@@ -401,6 +405,15 @@ def main(argv=None) -> None:
                 quiet=args.json, wire=args.wire)
     if args.json:
         print(json.dumps(r))
+    if args.outdir:
+        os.makedirs(args.outdir, exist_ok=True)
+        mode = "openloop" if args.open_loop else "serving"
+        path = os.path.join(
+            args.outdir,
+            f"executor_{mode}_b{args.batch}_{time.strftime('%Y%m%d_%H%M%S')}.json")
+        with open(path, "w") as f:
+            json.dump(r, f, indent=1)
+        print(f"[bench_executor] artifact: {path}", flush=True)
 
 
 if __name__ == "__main__":
