@@ -35,13 +35,28 @@ def main(argv=None) -> None:
     p.add_argument("--nprobe", type=int, nargs="+", default=[4, 8, 16])
     p.add_argument("--batch", type=int, default=8192)
     p.add_argument("--pad-block", type=int, default=2048)
+    # The measured quantity (required_qcap = the probe map's hottest-
+    # cluster load) depends ONLY on the coarse quantizer, but the cache
+    # key includes the fine-store config — accept it so the calibration
+    # reuses whatever index variant is already on disk (a sift10m cache
+    # miss is a ~15-min rebuild + 6.8 GB second copy).
+    p.add_argument("--spill-eps", type=float, default=None,
+                   help="default: 0.1 for >=5M-row datasets (the cached "
+                        "flagship variant), else 0")
+    p.add_argument("--store", default=None,
+                   help="default: compact for >=5M-row datasets")
     p.add_argument("--outdir", default="results")
     p.add_argument("--json", action="store_true")
     args = p.parse_args(argv)
 
     ds = load_dataset(args.dataset, gt_k=10)
+    big = ds.base.shape[0] >= 5_000_000
+    spill_eps = args.spill_eps if args.spill_eps is not None else (
+        0.1 if big else 0.0)
+    store = args.store or ("compact" if big else "padded")
     idx = build_or_load_index(ds, nlist=args.nlist, metric="l2", dtype="int8",
-                              pad_block=args.pad_block)
+                              pad_block=args.pad_block, store=store,
+                              spill_eps=spill_eps)
 
     rows = []
     for nprobe in args.nprobe:

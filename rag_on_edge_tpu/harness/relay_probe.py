@@ -192,6 +192,10 @@ def main(argv=None) -> None:
     p.add_argument("--skip-cycle", action="store_true",
                    help="transport terms only (no 1M index load)")
     p.add_argument("--json", action="store_true")
+    p.add_argument("--outdir", default="results",
+                   help="persist the decomposition as a stamped JSON "
+                        'artifact ("" disables) — every weather claim '
+                        "should point at one of these")
     args = p.parse_args(argv)
     out = probe_fetch(rounds=args.rounds)
     if not args.skip_cycle:
@@ -202,6 +206,16 @@ def main(argv=None) -> None:
     else:
         for k, v in out.items():
             print(f"{k:>28}: {v}")
+    if args.outdir:
+        import os
+
+        os.makedirs(args.outdir, exist_ok=True)
+        path = os.path.join(
+            args.outdir,
+            f"relay_probe_{time.strftime('%Y%m%d_%H%M%S')}.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"[relay_probe] artifact: {path}", flush=True)
 
 
 if __name__ == "__main__":
