@@ -555,6 +555,15 @@ class IVFIndex:
         counts = np.bincount(cl_all, minlength=nlist)
         offsets = np.zeros(nlist + 1, dtype=np.int64)
         np.cumsum(counts, out=offsets[1:])
+        # Measured probe-skew table (round 5): queries look like base
+        # vectors, so a seeded base self-probe predicts the hottest-cell
+        # probe fraction the recovery defaults must clear — per index,
+        # not per formula (see measure_probe_skew).  Host-side, ~0.3 s.
+        rng = np.random.default_rng(seed)
+        take = min(8192, n)
+        probe_skew = cls.measure_probe_skew(
+            centroids, base[rng.choice(n, take, replace=False)],
+            coarse_metric=coarse_metric)
         return cls(
             centroids,
             vectors_reordered,
@@ -567,7 +576,8 @@ class IVFIndex:
             store=store,
             config={"seed": seed, "kmeans_max_iter": max_iter,
                     "kmeans_init": kmeans_init,
-                    "spill_eps": float(spill_eps), "n_spilled": n_spilled},
+                    "spill_eps": float(spill_eps), "n_spilled": n_spilled,
+                    "probe_skew": probe_skew, "probe_skew_sample": int(take)},
         )
 
     # ------------------------------------------------------------- search impl
@@ -1209,29 +1219,112 @@ class IVFIndex:
         that do split (or recall-tolerant serving)."""
         return min(rescore_k or 2 * k, self.n) if rescore else k
 
+    #: nprobe grid of the stored probe-skew table (measure_probe_skew).
+    _SKEW_NPROBES = (1, 2, 4, 8, 16, 32)
+
+    @staticmethod
+    def measure_probe_skew(centroids: np.ndarray, sample: np.ndarray,
+                           coarse_metric: str = "l2",
+                           nprobes: tuple = _SKEW_NPROBES) -> dict:
+        """Hottest-cluster probe-load FRACTION per nprobe, measured on a
+        vector sample (host-side, one [S, nlist] GEMM ≈ 0.15 s at 10M
+        scale).  ``frac[np] = max cluster load / S``: the fraction of
+        queries whose top-np probe set contains the most popular cell —
+        a property of the query distribution, hence ~batch-invariant
+        (``est_load ≈ frac · B``).
+
+        Round-5 finding this replaces a formula with: skew is NOT a
+        function of nlist alone.  Measured max/mean at B=8192 —
+        1M/nlist=1024: 8.7x; 10M/nlist=8192: 29.8x; but 1M/nlist=4096:
+        **155-194x** (4 cells each drew 15-19% of all queries; the old
+        clip(nlist/256, 8, 32) rule under-estimated 12x and recovery
+        defaults would have silently dropped pairs — the same failure
+        class as the round-4 np-inversion).  A base-vector self-probe
+        predicts query-batch skew within ~8% on every measured point
+        (queries look like base vectors), so the index measures its own
+        skew instead of guessing (``results/qcap_calib_*.json``)."""
+        c = np.asarray(centroids, dtype=np.float32)
+        s = np.asarray(sample, dtype=np.float32)
+        nlist = c.shape[0]
+        scores = s @ c.T
+        if coarse_metric == "l2":
+            scores = 2.0 * scores - np.sum(c * c, axis=1)[None, :]
+        nps = sorted({min(int(p), nlist) for p in nprobes})
+        pmax = nps[-1]
+        if pmax >= nlist:
+            top = np.argsort(-scores, axis=1)[:, :pmax]
+        else:
+            part = np.argpartition(-scores, pmax, axis=1)[:, :pmax]
+            # Order the partition so prefix columns are exact top-np' sets
+            # (one sort of [S, pmax] — the prefix property turns six
+            # nprobe measurements into one scoring pass).
+            rows = np.arange(s.shape[0])[:, None]
+            top = part[rows, np.argsort(-scores[rows, part], axis=1)]
+        return {str(p): round(float(
+            np.bincount(top[:, :p].ravel(), minlength=nlist).max()
+            / s.shape[0]), 6) for p in nps}
+
+    def _probe_skew_table(self) -> dict:
+        """The measured skew table — from the build-time config when
+        present, else lazily self-measured on a seeded sample of the
+        stored vectors (retrofit for pre-round-5 artifacts; ~0.3 s once,
+        cached on the instance and into ``config`` so a later
+        :meth:`save` persists it)."""
+        tab = self.config.get("probe_skew")
+        if not tab:
+            rng = np.random.default_rng(int(self.config.get("seed", 42)))
+            take = min(8192, self.n)
+            sel = rng.choice(self.n, take, replace=False)
+            tab = self.measure_probe_skew(
+                self._centroids_np, self._vectors_np[sel],
+                coarse_metric=self.coarse_metric)
+            self.config["probe_skew"] = tab
+            self.config["probe_skew_sample"] = int(take)
+        return tab
+
     def _est_max_load(self, batch: int, nprobe: int) -> float:
         """Expected HOTTEST-cluster load for a batch of real queries — the
         yardstick routing capacity must clear (``invert_probes`` drops
         pairs above qcap).
 
         The mean load B·nprobe/nlist is the WRONG yardstick at fine
-        quantizers: query popularity concentrates on a few cells, and the
-        max/mean ratio GROWS with nlist.  Measured via
-        :meth:`required_qcap` on real query batches (B=8192, round-4
-        diagnosis of the 10M np-inversion anomaly):
+        quantizers — query popularity concentrates on a few cells — and
+        (round 5) no nlist-only formula survives measurement: max/mean at
+        B=8192 is 8.7x (1M/nlist=1024), 29.8x (10M/nlist=8192) but
+        155-194x (1M/nlist=4096).  The estimate therefore reads the
+        MEASURED per-index skew table (:meth:`measure_probe_skew` — built
+        with the index, lazily retrofitted for old artifacts) with
+        log-np interpolation; the pre-round-5 clip(nlist/256, 8, 32)
+        rule survives only as the fallback when measurement is
+        impossible.
 
-        - nlist=1024 (SIFT-1M):  max ≈ 6-8x mean (np=16/B=2048 is
-          spill-free at qcap = 8x mean; np=32 max ≈ 6x mean)
-        - nlist=8192 (SIFT-10M): max/mean = 32/32/30 at np=4/8/16
-          (required_qcap 128/256/480 vs mean loads 4/8/16)
-
-        The clipped-linear skew term interpolates those calibration
-        points.  It is a heuristic for DEFAULTS: residual spill is still
-        counted and returned, recovery passes absorb estimate misses, and
-        :meth:`required_qcap` measures the true value for one batch."""
-        mean_load = batch * min(nprobe, self.nlist) / self.nlist
-        skew = float(np.clip(self.nlist / 256.0, 8.0, 32.0))
-        return min(float(batch), skew * mean_load)
+        No safety factor on the raw self-probe, deliberately: it tracked
+        the measured query-batch load within ±8% on every calibration
+        point, `_auto_recover_passes`'s ceil-to-pass quantization already
+        provides ~recover_qcap/2 average slack, and a blanket 1.15x
+        margin tips the 10M np=8/np=16 defaults into one EXTRA recovery
+        pass each (a guaranteed ~20% throughput tax) to insure against a
+        small counted, recall-neutral residual spill.  It remains a
+        heuristic for DEFAULTS: residual spill is still counted and
+        returned, recovery passes absorb estimate misses, and
+        :meth:`required_qcap` measures the exact value for one batch."""
+        nprobe = min(nprobe, self.nlist)
+        try:
+            tab = self._probe_skew_table()
+            nps = np.array(sorted(int(p) for p in tab), dtype=np.float64)
+            fracs = np.array([tab[str(int(p))] for p in nps])
+            if nprobe <= nps[-1]:
+                frac = float(np.interp(np.log2(nprobe), np.log2(nps), fracs))
+            else:
+                # Beyond the table: load only grows with nprobe; scale the
+                # last point linearly (a safe over-estimate — growth is
+                # sublinear) and cap at every query probing the cell.
+                frac = min(1.0, float(fracs[-1]) * nprobe / float(nps[-1]))
+            return min(float(batch), frac * batch)
+        except Exception:
+            mean_load = batch * nprobe / self.nlist
+            skew = float(np.clip(self.nlist / 256.0, 8.0, 32.0))
+            return min(float(batch), skew * mean_load)
 
     def _auto_recover(self, batch: int, nprobe: int) -> bool:
         """Recovery auto-engages when the estimated hottest-cluster load
@@ -1243,10 +1336,20 @@ class IVFIndex:
         where max load is ~30x mean — np=16 silently dropped 21.8K lossy
         pairs per batch and recall@10 INVERTED with nprobe
         (0.9981/0.9955/0.9619 at np=4/8/16).  With recovery the same
-        configs measure 0.9983 (see RESULTS.md round-4 anomaly section)."""
+        configs measure 0.9983 (see RESULTS.md round-4 anomaly section).
+
+        The trigger is estimated worst-cell OVERFLOW above a smallness
+        threshold (batch/256 ≈ 0.4%), not a strict est > qcap test: the
+        estimate only prices the hottest cell, so when it exceeds qcap by
+        a handful of rows the lossy spill is a few pairs on one cell —
+        measured recall-neutral (rounds 2/4) — while a recovery pass is a
+        guaranteed ~20% throughput tax.  (Round 5: the measured-skew
+        estimate puts the 1M headline at est 262 vs qcap 256 — a strict
+        test would have taxed the headline to recover ~6 pairs.)"""
         qcap = self._auto_qcap(batch, nprobe)
         # qcap >= batch can never spill: a cluster's load is at most B.
-        return qcap < batch and qcap < self._est_max_load(batch, nprobe)
+        overflow = self._est_max_load(batch, nprobe) - qcap
+        return qcap < batch and overflow > max(batch / 256.0, 8.0)
 
     def _auto_recover_passes(self, batch: int, nprobe: int, recover_qcap: int,
                              max_passes: int = 8) -> int:

@@ -428,7 +428,8 @@ class ShardedIVFIndex:
         self._search_cm_jit = jax.jit(
             self._make_cluster_major_fn(),
             static_argnames=("k", "nprobe", "qcap", "recover_qcap",
-                             "recover_blocks", "recover_passes", "engine"),
+                             "recover_blocks", "recover_passes", "engine",
+                             "stage"),
         )
 
     # ------------------------------------------------- query-major (gather)
@@ -668,7 +669,18 @@ class ShardedIVFIndex:
         def shard_body(q, cents, c_norms, vecs_t, vecs_c, norms_c, reorder_c,
                        po, co, bc, bf, bl, rv, lb, norms_pad,
                        cluster_shard, sizes, k, nprobe, qcap,
-                       recover_qcap, recover_blocks, recover_passes, engine):
+                       recover_qcap, recover_blocks, recover_passes, engine,
+                       stage):
+            def prefix_out(leaf):
+                # Cumulative-prefix early return (harness/profile_sharded):
+                # one replicated [b, 1] f32 leaf (chainable by the timing
+                # protocol) + dummies matching the full program's out_specs.
+                b_ = q.shape[0]
+                return (leaf.reshape(b_, 1).astype(jnp.float32),
+                        jnp.zeros((b_, 1), jnp.int32),
+                        jnp.zeros((b_,), jnp.int32),
+                        jnp.zeros((1,), jnp.int32))
+
             vecs_t, vecs_c, norms_c, reorder_c = (
                 vecs_t[0], vecs_c[0], norms_c[0], reorder_c[0]
             )
@@ -686,6 +698,8 @@ class ShardedIVFIndex:
             probes = coarse_probes_tiered(
                 q, cents, c_norms if coarse_metric == "l2" else None,
                 min(nprobe, nlist), tier=tier, coarse_metric=coarse_metric)
+            if stage == "coarse":
+                return prefix_out(probes[:, :1].astype(jnp.float32))
             cq, slot, _ = invert_probes(probes, nlist, qcap)
             # Dropped pairs on empty clusters lose nothing and can never be
             # recovered (no local blocks) — they are not spill.  `lossy` is
@@ -713,6 +727,12 @@ class ShardedIVFIndex:
                     )
                 qrow = qrow.astype(vecs_t.dtype)
             qg = jnp.where(routed, qrow[jnp.clip(cq, 0)], jnp.zeros((), qrow.dtype))
+            if stage == "invert":
+                return prefix_out(probes[:, :1].astype(jnp.float32)
+                                  + spill.astype(jnp.float32))
+            if stage == "route":
+                return prefix_out(probes[:, :1] * 0
+                                  + jnp.sum(qg.astype(jnp.float32)))
 
             b = q.shape[0]
             me = jax.lax.axis_index(axis)
@@ -749,6 +769,14 @@ class ShardedIVFIndex:
                 pv, pr = pallas_ivf.cluster_major_scan(
                     qg, vecs_t, bc, bf, bl, rv, k=ck, blk=blk, bias=bias
                 )
+            if stage == "kernel":
+                # One lane of the kernel output, psum-reduced (replicated
+                # leaf); Pallas calls are opaque so the slice cannot DCE
+                # the scan itself.
+                raw = pp[:, :, 0].astype(jnp.float32) if pp is not None \
+                    else jnp.where(pv[:, :, 0] > _NEG_INF, pv[:, :, 0], 0.0)
+                return prefix_out(probes[:, :1] * 0
+                                  + jax.lax.psum(jnp.sum(raw), axis) * 1e-9)
             extra = None
             if recover_qcap and recover_blocks:
                 # Spilled-pair recovery (IVFIndex._cm_recover, sharded form):
@@ -872,6 +900,10 @@ class ShardedIVFIndex:
                 gr = jnp.concatenate([gr, extra[1]], axis=1)
             best_v, sel = topk_ops.small_topk(gv, min(kk, gv.shape[1]))
             best_r = jnp.take_along_axis(gr, sel, axis=1)
+            if stage == "join":
+                fin = jnp.where(best_v > _NEG_INF, best_v, 0.0)
+                return prefix_out(probes[:, :1] * 0
+                                  + jax.lax.psum(jnp.sum(fin), axis) * 1e-9)
             # fp32 rescore of local candidates (binned kernel selection is
             # approximate) against the COMPACT fp32 copy: padded local row
             # -> owning cluster via the block table -> compact row via the
@@ -897,6 +929,10 @@ class ShardedIVFIndex:
             ids = jnp.where(
                 best_v > _NEG_INF,
                 jnp.take_along_axis(pool_ids, sel2, axis=1), -1)
+            if stage == "rescore":
+                fin = jnp.where(best_v > _NEG_INF, best_v, 0.0)
+                return prefix_out(probes[:, :1] * 0
+                                  + jax.lax.psum(jnp.sum(fin), axis) * 1e-9)
 
             out_v, out_i = _gather_merge(
                 best_v, ids.astype(jnp.int32), k, axis, dedup=spilled)
@@ -921,12 +957,13 @@ class ShardedIVFIndex:
         def fn(q, cents, c_norms, vecs_t, vecs_c, norms_c, reorder_c,
                po, co, bc, bf, bl, rv, lb, norms_pad,
                cluster_shard, sizes, k, nprobe, qcap,
-               recover_qcap, recover_blocks, recover_passes, engine):
+               recover_qcap, recover_blocks, recover_passes, engine,
+               stage="full"):
             body = functools.partial(shard_body, k=k, nprobe=nprobe, qcap=qcap,
                                      recover_qcap=recover_qcap,
                                      recover_blocks=recover_blocks,
                                      recover_passes=recover_passes,
-                                     engine=engine)
+                                     engine=engine, stage=stage)
             return jax.shard_map(
                 body, mesh=self.mesh, in_specs=in_specs,
                 out_specs=(P(None, None), P(None, None), P(None), P(None)),

@@ -427,29 +427,49 @@ def test_xla_engine_exact_on_skewed_clusters():
     np.testing.assert_array_equal(np.asarray(ids), ids_bf)
 
 
+# Probe-skew tables measured on the real cached indexes (round 5,
+# results/qcap_calib_*.json + the base self-probes that validated them):
+# hottest-cell probe fraction per nprobe.
+_SKEW_10M_8192 = {"1": 0.00146, "2": 0.00537, "4": 0.01269, "8": 0.03052,
+                  "16": 0.06238, "32": 0.12195}
+_SKEW_1M_1024 = {"1": 0.005, "2": 0.0131, "4": 0.032, "8": 0.0718,
+                 "16": 0.1461, "32": 0.2783}
+_SKEW_1M_4096 = {"1": 0.0026, "2": 0.0771, "4": 0.209, "8": 0.3964,
+                 "16": 0.6421, "32": 0.8589}
+
+
+def _fake_index(nlist, skew=None, n=1_000_000):
+    # The heuristics are pure functions of (nlist, config, batch,
+    # nprobe) — exercise them at 10M-scale nlist without a 10M build.
+    idx = IVFIndex.__new__(IVFIndex)
+    idx.nlist = nlist
+    idx.n = n
+    idx.config = {"probe_skew": skew} if skew else {}
+    # No stored vectors: the lazy self-probe is impossible, so a
+    # skew-less fake exercises the clip-rule FALLBACK path.
+    idx._vectors_np = None
+    return idx
+
+
 def test_recovery_heuristics_skew_aware():
     """Round-4 regression (10M np-inversion anomaly): at fine quantizers
     the hottest cluster's load is ~30x the mean (measured required_qcap
     480 vs mean 16 at nlist=8192/np=16/B=8192), so the mean-load rule
     left auto-recovery OFF while 21.8K lossy pairs/batch were dropped —
-    recall@10 INVERTED with nprobe (0.9981/0.9955/0.9619).  The
-    est-max-load heuristics must engage recovery there with enough
-    passes, while keeping it OFF for the spill-free 1M headline."""
-    def fake_index(nlist):
-        # The heuristics are pure functions of (nlist, batch, nprobe) —
-        # exercise them at 10M-scale nlist without a 10M build.
-        idx = IVFIndex.__new__(IVFIndex)
-        idx.nlist = nlist
-        return idx
-
-    fine = fake_index(8192)
+    recall@10 INVERTED with nprobe (0.9981/0.9955/0.9619).  With the
+    round-5 measured skew table the heuristics must reproduce the
+    decisions round 4 measured as optimal: recovery OFF at np=4
+    (required 110 < qcap 128), 1 pass at np=8 (232 ≤ 256), 3 passes at
+    np=16 (477 ≤ 512)."""
+    fine = _fake_index(8192, _SKEW_10M_8192, n=10_000_000)
     # auto_qcap at B=8192: mean loads 4/8/16 -> capped at 128
     assert IVFIndex._auto_qcap(fine, 8192, 4) == 128
     assert IVFIndex._auto_qcap(fine, 8192, 16) == 128
-    # est max load interpolates the measured skew (~32x mean at 8192)
-    assert IVFIndex._est_max_load(fine, 8192, 16) == pytest.approx(512.0)
+    # est max load reads the measured table (frac * batch)
+    assert IVFIndex._est_max_load(fine, 8192, 16) == pytest.approx(
+        0.06238 * 8192, rel=1e-6)
     # recovery engages at np>=8 (measured spill), stays off at np=4
-    # (measured required_qcap == qcap == 128, zero spill)
+    # (measured required_qcap 110 < qcap 128, zero spill)
     assert not IVFIndex._auto_recover(fine, 8192, 4)
     assert IVFIndex._auto_recover(fine, 8192, 8)
     assert IVFIndex._auto_recover(fine, 8192, 16)
@@ -458,10 +478,75 @@ def test_recovery_heuristics_skew_aware():
     # recall@10 0.9619 -> 0.9983); np=8 needs 256 -> 1 pass
     assert IVFIndex._auto_recover_passes(fine, 8192, 16, recover_qcap=128) == 3
     assert IVFIndex._auto_recover_passes(fine, 8192, 8, recover_qcap=128) == 1
-    # 1M headline (nlist=1024, B=8192, np=4): est max == qcap == 256,
-    # recovery stays off — the 577K QPS config is unchanged
-    coarse = fake_index(1024)
+    # 1M headline (nlist=1024, B=8192, np=4): measured est 262 exceeds
+    # qcap 256 by only ~6 pairs on one cell — recovery must stay OFF
+    # (the smallness threshold; a strict est > qcap test would tax the
+    # 596K QPS headline ~20% to recover 5 measured lossy pairs)
+    coarse = _fake_index(1024, _SKEW_1M_1024)
+    assert IVFIndex._est_max_load(coarse, 8192, 4) > 256
     assert not IVFIndex._auto_recover(coarse, 8192, 4)
+    # ... but np=8 now engages with 2 passes (measured required 555 >
+    # round-4's 1-pass capacity 512 — the measured table CORRECTED an
+    # under-provisioning the clip rule hid)
+    assert IVFIndex._auto_recover(coarse, 8192, 8)
+    assert IVFIndex._auto_recover_passes(coarse, 8192, 8, recover_qcap=256) == 2
+
+
+def test_skew_formula_has_no_predictive_power_across_datasets():
+    """The round-5 finding that killed the clip(nlist/256, 8, 32) rule:
+    1M at nlist=4096 measures max/mean 155-194x (4 cells each drew
+    15-19% of all queries) where the rule predicts 16x.  The measured
+    table must drive recovery to its max_passes clamp there — the old
+    rule silently dropped ~19% of probe pairs (the round-4 np-inversion
+    failure class at a point its two calibration anchors bracketed)."""
+    path = _fake_index(4096, _SKEW_1M_4096)
+    # measured: required_qcap 1553 at np=4/B=8192; est = frac*B = 1712
+    assert IVFIndex._est_max_load(path, 8192, 4) == pytest.approx(
+        0.209 * 8192, rel=1e-6)
+    assert IVFIndex._auto_recover(path, 8192, 4)
+    assert IVFIndex._auto_recover_passes(path, 8192, 4, recover_qcap=128) == 8
+    # fallback (no table, no vectors): the clip rule under-estimates 12x
+    # here — kept only because old artifacts without stored vectors can't
+    # self-measure
+    bare = _fake_index(4096)
+    assert IVFIndex._est_max_load(bare, 8192, 4) == pytest.approx(
+        16.0 * 8.0)  # clip(4096/256)=16 x mean 8
+
+
+def test_probe_skew_measured_persisted_and_lazy(tmp_path):
+    """build() measures the self-probe table and save/load round-trips
+    it; a pre-round-5 artifact (no table in config) lazily self-measures
+    on first use and caches into config so a later save persists it."""
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(4000, 32)).astype(np.float32)
+    idx = IVFIndex.build(base, nlist=32, metric="l2", dtype="fp32", seed=42)
+    tab = idx.config["probe_skew"]
+    assert set(tab) == {"1", "2", "4", "8", "16", "32"}
+    # fractions are monotone in nprobe and in (0, 1]
+    fr = [tab[k] for k in ("1", "2", "4", "8", "16", "32")]
+    assert all(0 < a <= b <= 1.0 for a, b in zip(fr, fr[1:]))
+    d = str(tmp_path / "idx")
+    idx.save(d)
+    idx2 = IVFIndex.load(d)
+    assert idx2.config["probe_skew"] == tab
+    # retrofit: wipe the stored table -> first _est_max_load self-measures
+    del idx2.config["probe_skew"]
+    est = idx2._est_max_load(2048, 4)
+    assert est == pytest.approx(idx2.config["probe_skew"]["4"] * 2048)
+    # the lazy table tracks the build-time one (same distribution, ~same
+    # sample) within a loose factor
+    assert idx2.config["probe_skew"]["4"] == pytest.approx(tab["4"], rel=0.5)
+
+
+def test_probe_skew_concentrated_queries():
+    """A query batch that all probes one cell must measure frac -> 1.0
+    and drive the load estimate to ~the full batch."""
+    rng = np.random.default_rng(0)
+    cents = rng.normal(size=(16, 8)).astype(np.float32) * 10
+    sample = np.repeat(cents[3:4], 64, axis=0) + rng.normal(
+        size=(64, 8)).astype(np.float32) * 1e-3
+    tab = IVFIndex.measure_probe_skew(cents, sample, "l2")
+    assert tab["1"] == 1.0
 
 
 def test_search_pads_tail_with_repeats(small_data, ivf):

@@ -361,3 +361,23 @@ def test_sharded_coarse_tier_matches_single(small_data, mesh, tier_attr, thresho
     ids_c, v_c, c_c = sharded.search(queries, k=10, nprobe=4, mode="cluster")
     assert c_c == c_s
     assert recall_at_k(ids_c, ids_s, 10) >= 0.99
+
+
+def test_sharded_profile_stages(small_data, mesh):
+    """The stage= knob (harness/profile_sharded) must run every cumulative
+    prefix of the production shard body and leave the full program's
+    results untouched — prefixes early-return chainable leaves through
+    the SAME jitted entry (out_specs shape contract)."""
+    from rag_on_edge_tpu.harness.profile_sharded import STAGES, profile
+
+    base, queries = small_data
+    single = IVFIndex.build(base, nlist=16, metric="l2", dtype="int8",
+                            seed=42, max_iter=10)
+    sharded = ShardedIVFIndex(single, mesh)
+    rows = profile(sharded, queries.astype(np.float32), 10, 4, repeats=1)
+    assert [r[0] for r in rows] == list(STAGES)
+    assert all(np.isfinite(r[1]) and r[1] > 0 for r in rows)
+    # full results are unchanged by the prefix machinery
+    ids_m, _, _ = sharded.search(queries, k=10, nprobe=4, mode="cluster")
+    ids_s, _, _ = single.search(queries, k=10, nprobe=4, mode="query")
+    assert recall_at_k(ids_m, ids_s, 10) >= 0.95
