@@ -48,8 +48,8 @@ def profile(sidx, queries: np.ndarray, k: int, nprobe: int,
         def f(q):
             return sidx._search_cm_jit(
                 q, sidx._centroids, c_norms,
-                a["vectors_t"], a["vectors_c"], a["norms_c"], a["reorder_c"],
-                a["po"], a["co"], a["bc"], a["bf"], a["bl"], a["rv"],
+                a["vectors_t"], a["vectors_c"], a["crow_map"], a["reorder_c"],
+                a["bc"], a["bf"], a["bl"], a["rv"],
                 a["lb"], a["norms_pad"], a["cluster_shard"], a["sizes"],
                 k, nprobe, qcap, 0, 0, 1, engine, stage)
         return f

@@ -577,14 +577,25 @@ class ShardedIVFIndex:
             out[: u1 - u0] = src[u0:u1]
             return out
 
-        def offset_maps(s):
+        def crow_map(s):
+            """LOCAL padded row -> LOCAL compact row, one i32 per padded
+            row.  Collapses the rescore's per-candidate offset-map chain
+            (bc[row//blk] -> po/co lookups, 3 gathers of B*kk indices
+            each) into ONE table gather: per-index fixed cost dominates
+            TPU gathers (models/ivf.py _rescore_rows), and the sharded
+            rescore was the largest stage on silicon (9.8 ms of 23.8 at
+            1M np=4 B=8192 — harness/profile_sharded).  Padding rows map
+            to 0 (masked by best_v at use)."""
             lo, hi = bounds[s]
             r0, u0 = row_bounds[s][0], int(offs_u[lo])
-            po = np.zeros(self.nlist, np.int32)
-            co = np.zeros(self.nlist, np.int32)
-            po[lo:hi] = (offs_p[lo:hi] - r0).astype(np.int32)
-            co[lo:hi] = (offs_u[lo:hi] - u0).astype(np.int32)
-            return po, co
+            out = np.zeros(rows_max, np.int32)
+            for c in range(lo, hi):
+                sz = int(sizes[c])
+                p0 = int(offs_p[c]) - r0
+                out[p0 : p0 + sz] = np.arange(
+                    int(offs_u[c]) - u0, int(offs_u[c]) - u0 + sz,
+                    dtype=np.int32)
+            return out
 
         def norms_padded(s):
             """fp32 norms by LOCAL PADDED row (the int8-L2 kernel bias)."""
@@ -606,14 +617,12 @@ class ShardedIVFIndex:
             cluster_shard[lo:hi] = s
 
         # One computation per shard, shared across the arrays that consume
-        # it (tables feeds 4 arrays, the compact fp32 slice feeds 2,
-        # offset_maps feeds 2) — at the 10M flagship each extra compact
+        # it (tables feeds 5 arrays) — at the 10M flagship each extra compact
         # call is a ~0.6 GB host copy and each tables call a full
         # build_block_tables pass.  Sharing requires the SHARD-outer
         # placement loop (`_put_sharded_multi`): consumers of one shard's
         # producer run back-to-back, so the 1-entry memo hits.
         tables = _memo_last(tables)
-        offset_maps = _memo_last(offset_maps)
         compact_f32 = _memo_last(
             lambda s: compact(s, index._vectors_np, 0, np.float32)
         )
@@ -622,12 +631,9 @@ class ShardedIVFIndex:
         specs = {
             "vectors_t": ((S, nblocks_max, d_aug, blk), src_vt.dtype, vt_slice),
             "vectors_c": ((S, rows_c_max, self.dim), np.float32, compact_f32),
-            "norms_c": ((S, rows_c_max), np.float32,
-                        lambda s: np.sum(compact_f32(s) ** 2, axis=1)),
+            "crow_map": ((S, rows_max), np.int32, crow_map),
             "reorder_c": ((S, rows_c_max), np.int32,
                           lambda s: compact(s, index._reorder_np, -1, np.int32)),
-            "po": ((S, self.nlist), np.int32, lambda s: offset_maps(s)[0]),
-            "co": ((S, self.nlist), np.int32, lambda s: offset_maps(s)[1]),
         }
         for name, _i in [("bc", 0), ("bf", 1), ("bl", 2), ("rv", 3)]:
             specs[name] = ((S, nblocks_max), np.int32,
@@ -666,8 +672,8 @@ class ShardedIVFIndex:
         spilled = self.spilled
         get_scale = lambda: self._cm_base_scale  # noqa: E731 — set by _ensure_cluster_state
 
-        def shard_body(q, cents, c_norms, vecs_t, vecs_c, norms_c, reorder_c,
-                       po, co, bc, bf, bl, rv, lb, norms_pad,
+        def shard_body(q, cents, c_norms, vecs_t, vecs_c, crow_map, reorder_c,
+                       bc, bf, bl, rv, lb, norms_pad,
                        cluster_shard, sizes, k, nprobe, qcap,
                        recover_qcap, recover_blocks, recover_passes, engine,
                        stage):
@@ -681,10 +687,9 @@ class ShardedIVFIndex:
                         jnp.zeros((b_,), jnp.int32),
                         jnp.zeros((1,), jnp.int32))
 
-            vecs_t, vecs_c, norms_c, reorder_c = (
-                vecs_t[0], vecs_c[0], norms_c[0], reorder_c[0]
+            vecs_t, vecs_c, crow_map, reorder_c = (
+                vecs_t[0], vecs_c[0], crow_map[0], reorder_c[0]
             )
-            po, co = po[0], co[0]
             bc, bf, bl, rv, norms_pad = bc[0], bf[0], bl[0], rv[0], norms_pad[0]
             lb = lb[0]
             kk = 2 * k
@@ -905,22 +910,29 @@ class ShardedIVFIndex:
                 return prefix_out(probes[:, :1] * 0
                                   + jax.lax.psum(jnp.sum(fin), axis) * 1e-9)
             # fp32 rescore of local candidates (binned kernel selection is
-            # approximate) against the COMPACT fp32 copy: padded local row
-            # -> owning cluster via the block table -> compact row via the
-            # per-cluster offset maps (po = padded starts, co = compact
-            # starts).  Garbage slots are clipped and masked by best_v.
-            blk_of = jnp.clip(best_r // blk, 0, bc.shape[0] - 1)
-            c_of = bc[blk_of]
-            crow = jnp.clip(co[c_of] + best_r - po[c_of], 0, vecs_c.shape[0] - 1)
-            cand = vecs_c[crow]
+            # approximate) against the COMPACT fp32 copy.  Three FLAT
+            # gathers total — padded row -> compact row via the prebuilt
+            # crow_map table, candidate vectors, original ids — with
+            # candidate norms recomputed from the gathered rows (128
+            # FLOPs) instead of a fourth B*kk-index gather: per-index
+            # fixed cost dominates TPU gathers (models/ivf.py
+            # _rescore_rows), and this stage was the largest on silicon
+            # (9.8 ms of 23.8 before, 1M np=4 B=8192).  Garbage slots map
+            # to row 0 and stay masked by best_v.
+            bsz, kp = best_r.shape
+            safe = jnp.clip(best_r, 0, crow_map.shape[0] - 1).reshape(-1)
+            crow = jnp.clip(jnp.take(crow_map, safe, axis=0),
+                            0, vecs_c.shape[0] - 1)
+            cand = jnp.take(vecs_c, crow, axis=0).reshape(bsz, kp, -1)
             scores = jnp.einsum(
                 "bcd,bd->bc", cand, q, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
             if metric == "l2":
-                scores = 2.0 * scores - norms_c[crow]
+                scores = 2.0 * scores - jnp.sum(cand * cand, axis=-1)
             scores = jnp.where(best_v > _NEG_INF, scores, _NEG_INF)
-            pool_ids = reorder_c[crow].astype(jnp.int32)
+            pool_ids = jnp.take(reorder_c, crow, axis=0).reshape(
+                bsz, kp).astype(jnp.int32)
             if spilled:
                 # In-shard dedup: a vector spilled into two clusters of the
                 # SAME shard reaches this pool twice (identical fp32 score).
@@ -944,9 +956,8 @@ class ShardedIVFIndex:
             P(None) if self._centroid_norms is not None else P(),
             P(axis, None, None, None),  # vectors_t (block-tiled)
             P(axis, None, None),  # vectors_c (compact fp32 rescore)
-            P(axis, None),  # norms_c
+            P(axis, None),  # crow_map (padded row -> compact row)
             P(axis, None),  # reorder_c
-            P(axis, None), P(axis, None),  # po, co offset maps
             P(axis, None), P(axis, None), P(axis, None), P(axis, None),  # tables
             P(axis, None),  # lb (local last block per global cluster)
             P(axis, None),  # norms_pad (int8-L2 kernel bias)
@@ -954,8 +965,8 @@ class ShardedIVFIndex:
             P(None),  # sizes
         )
 
-        def fn(q, cents, c_norms, vecs_t, vecs_c, norms_c, reorder_c,
-               po, co, bc, bf, bl, rv, lb, norms_pad,
+        def fn(q, cents, c_norms, vecs_t, vecs_c, crow_map, reorder_c,
+               bc, bf, bl, rv, lb, norms_pad,
                cluster_shard, sizes, k, nprobe, qcap,
                recover_qcap, recover_blocks, recover_passes, engine,
                stage="full"):
@@ -968,8 +979,8 @@ class ShardedIVFIndex:
                 body, mesh=self.mesh, in_specs=in_specs,
                 out_specs=(P(None, None), P(None, None), P(None), P(None)),
                 check_vma=False,
-            )(q, cents, c_norms, vecs_t, vecs_c, norms_c, reorder_c,
-              po, co, bc, bf, bl, rv, lb, norms_pad, cluster_shard, sizes)
+            )(q, cents, c_norms, vecs_t, vecs_c, crow_map, reorder_c,
+              bc, bf, bl, rv, lb, norms_pad, cluster_shard, sizes)
 
         return fn
 
@@ -1090,8 +1101,8 @@ class ShardedIVFIndex:
                     queries.shape[0], nprobe, rq)
             vals, ids, ncand, spill = self._search_cm_jit(
                 queries, self._centroids, c_norms,
-                a["vectors_t"], a["vectors_c"], a["norms_c"], a["reorder_c"],
-                a["po"], a["co"], a["bc"], a["bf"], a["bl"], a["rv"],
+                a["vectors_t"], a["vectors_c"], a["crow_map"], a["reorder_c"],
+                a["bc"], a["bf"], a["bl"], a["rv"],
                 a["lb"], a["norms_pad"], a["cluster_shard"], a["sizes"],
                 k, nprobe, qcap or self._auto_qcap(queries.shape[0], nprobe),
                 rq, rb, rp, engine,
